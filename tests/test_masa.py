@@ -1,0 +1,118 @@
+"""Golden tests for the MASA search/transfer ops vs the torch oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from textualdegremoval_tpu.ops import (
+    unfold_nhwc,
+    fold_overlap_add,
+    masa_match_and_warp,
+)
+from textualdegremoval_tpu.ops.masa import fold_divisor
+
+from torch_oracles import masa_oracle
+
+RNG = np.random.default_rng(7)
+
+
+class TestUnfold:
+    @pytest.mark.parametrize(
+        "ks,stride,dilation,padding",
+        [(3, 1, 1, 0), (3, 1, 1, 1), (3, 1, 2, 2), (3, 2, 1, 0), (6, 2, 1, 0)],
+    )
+    def test_matches_torch_unfold(self, ks, stride, dilation, padding):
+        x = RNG.standard_normal((2, 10, 12, 4)).astype(np.float32)
+        got = unfold_nhwc(jnp.asarray(x), ks, stride, dilation, padding)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = F.unfold(xt, ks, dilation=dilation, padding=padding, stride=stride)
+        lh, lw = got.shape[1], got.shape[2]
+        want = want.view(2, -1, lh, lw).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+class TestFold:
+    @pytest.mark.parametrize("psize,scale", [(3, 1), (3, 2), (3, 4)])
+    def test_matches_torch_fold(self, psize, scale):
+        lh, lw, c = 6, 5, 3
+        k = psize * scale
+        patches = RNG.standard_normal((2, lh, lw, c * k * k)).astype(np.float32)
+        got = fold_overlap_add(jnp.asarray(patches), psize, scale)
+
+        pt = torch.from_numpy(patches.reshape(2, lh * lw, c * k * k).transpose(0, 2, 1))
+        want = F.fold(
+            pt, (lh * scale, lw * scale), kernel_size=k,
+            padding=(psize // 2) * scale, stride=scale,
+        )
+        want = want.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_divisor_matches_torch(self):
+        lh = lw = 4
+        psize, scale = 3, 2
+        k = psize * scale
+        got = fold_divisor(lh, lw, psize, scale)
+        ones = torch.ones(1, k * k, lh * lw)
+        want = F.fold(ones, (lh * scale, lw * scale), kernel_size=k,
+                      padding=(psize // 2) * scale, stride=scale)
+        np.testing.assert_allclose(
+            np.asarray(got)[0, ..., 0], want.numpy()[0, 0], atol=1e-6
+        )
+
+
+def make_pyramid(n, c_deep, h_deep, w_deep, nscales, seed=0):
+    """Random ref pyramid shallow->deep; channels halve per level up."""
+    rng = np.random.default_rng(seed)
+    pyr = []
+    for level in range(nscales):
+        s = 2 ** (nscales - 1 - level)
+        cs = c_deep // s
+        pyr.append(
+            rng.standard_normal((n, h_deep * s, w_deep * s, cs)).astype(np.float32)
+        )
+    return pyr
+
+
+class TestMASAFull:
+    @pytest.mark.parametrize("nscales", [3, 4])
+    def test_matches_oracle(self, nscales):
+        n, c, hd, wd = 2, 8, 16, 16
+        lq = RNG.standard_normal((n, hd, wd, c)).astype(np.float32)
+        pyr = make_pyramid(n, c, hd, wd, nscales, seed=3)
+
+        warps = masa_match_and_warp(
+            jnp.asarray(lq), [jnp.asarray(p) for p in pyr], lr_block_size=8
+        )
+
+        lq_t = torch.from_numpy(lq.transpose(0, 3, 1, 2))
+        pyr_t = [torch.from_numpy(p.transpose(0, 3, 1, 2)) for p in pyr]
+        want = masa_oracle(lq_t, pyr_t, lr_block_size=8)
+
+        assert len(warps) == nscales
+        for got_l, want_l in zip(warps, want):
+            got_np = np.asarray(got_l)
+            want_np = want_l.numpy().transpose(0, 2, 3, 1)
+            assert got_np.shape == want_np.shape
+            np.testing.assert_allclose(got_np, want_np, atol=2e-4)
+
+    def test_nonsquare_and_jit(self):
+        import jax
+
+        n, c, hd, wd = 1, 8, 16, 24
+        lq = RNG.standard_normal((n, hd, wd, c)).astype(np.float32)
+        pyr = make_pyramid(n, c, hd, wd, 3, seed=5)
+
+        fn = jax.jit(
+            lambda a, b: masa_match_and_warp(a, b, lr_block_size=8)
+        )
+        warps = fn(jnp.asarray(lq), [jnp.asarray(p) for p in pyr])
+
+        lq_t = torch.from_numpy(lq.transpose(0, 3, 1, 2))
+        pyr_t = [torch.from_numpy(p.transpose(0, 3, 1, 2)) for p in pyr]
+        want = masa_oracle(lq_t, pyr_t, lr_block_size=8)
+        for got_l, want_l in zip(warps, want):
+            np.testing.assert_allclose(
+                np.asarray(got_l), want_l.numpy().transpose(0, 2, 3, 1), atol=2e-4
+            )

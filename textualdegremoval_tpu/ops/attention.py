@@ -1,0 +1,92 @@
+"""Channel-attention primitives (MDTA, TKSA) as pure functions.
+
+Both operate on *transposed* attention: the attention matrix is C×C per head
+(linear in spatial size), which is exactly why these backbones scale to big
+images.  The C×C grams are MXU-friendly matmuls.
+
+Inputs are (B, heads, c, L) where c = channels-per-head and L = H*W.
+
+Parity targets:
+* MDTA — reference models/archs/network_restormer_guided_arch.py:246-277:
+  q, k L2-normalized along L, attn = (q @ k^T) * temperature, softmax over
+  the last axis, out = attn @ v.
+* TKSA — reference models/archs/network_drsformer_guided_arch.py:260-330:
+  same gram, then four sparsified softmaxes keeping the per-row top
+  C/2, 2C/3, 3C/4, 4C/5 entries (-inf elsewhere), blended with learnable
+  scalar weights.  The TPU version derives all four masks from a single
+  `lax.top_k` (threshold compare) instead of four scatter_ passes: one sort
+  instead of four, and no scatter.  Ties at the threshold are kept (the
+  reference keeps exactly k by index order); with continuous float scores
+  this is measure-zero.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _l2_normalize(x: jnp.ndarray, axis: int, eps: float = 1e-12) -> jnp.ndarray:
+    # torch F.normalize semantics: x / max(||x||, eps)
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def mdta_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    temperature: jnp.ndarray,
+) -> jnp.ndarray:
+    """Transposed (channel) attention.
+
+    Args:
+      q, k, v: (B, heads, c, L).
+      temperature: broadcastable to (heads, 1, 1) — per-head scale.
+    Returns:
+      (B, heads, c, L).
+    """
+    dt = q.dtype
+    q = _l2_normalize(q.astype(jnp.float32), axis=-1)
+    k = _l2_normalize(k.astype(jnp.float32), axis=-1)
+    attn = jnp.einsum("bhcl,bhdl->bhcd", q, k) * temperature.astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhcd,bhdl->bhcl", attn.astype(dt), v)
+    return out
+
+
+def tksa_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    temperature: jnp.ndarray,
+    blend: jnp.ndarray,
+) -> jnp.ndarray:
+    """Top-k sparse channel attention with 4 sparsity levels.
+
+    Args:
+      q, k, v: (B, heads, c, L).
+      temperature: broadcastable per-head scale.
+      blend: (4,) learnable blend weights (reference attn1..attn4).
+    Returns:
+      (B, heads, c, L).
+    """
+    dt = q.dtype
+    qf = _l2_normalize(q.astype(jnp.float32), axis=-1)
+    kf = _l2_normalize(k.astype(jnp.float32), axis=-1)
+    attn = jnp.einsum("bhcl,bhdl->bhcd", qf, kf) * temperature.astype(jnp.float32)
+
+    c = attn.shape[-1]
+    ks = [int(c / 2), int(c * 2 / 3), int(c * 3 / 4), int(c * 4 / 5)]
+    kmax = max(ks)
+    # One top-k (sorted desc) gives every threshold.
+    top_vals = jax.lax.top_k(attn, kmax)[0]  # (B, h, c, kmax)
+
+    out = jnp.zeros_like(v, dtype=jnp.float32)
+    vf = v.astype(jnp.float32)
+    for i, kk in enumerate(ks):
+        thresh = top_vals[..., kk - 1 : kk]  # k-th largest per row
+        masked = jnp.where(attn >= thresh, attn, -jnp.inf)
+        a = jax.nn.softmax(masked, axis=-1)
+        out = out + blend[i].astype(jnp.float32) * jnp.einsum(
+            "bhcd,bhdl->bhcl", a, vf
+        )
+    return out.astype(dt)

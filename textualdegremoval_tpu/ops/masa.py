@@ -1,0 +1,347 @@
+"""MASA-style cross-image patch search + transfer, TPU-native.
+
+Re-design of the reference's MASA module (canonical copy:
+models/archs/network_nafnet_guided_arch.py:483-709, duplicated in all five
+guided archs).  What it computes:
+
+1. Split the deepest LQ feature map into a grid of py*px blocks (with a
+   1-pixel replicate halo).
+2. **Coarse search**: for each block, correlate its center 3x3 patch (at
+   dilations {1,2,3}, L2-normalized) against every 3x3 patch of the deepest
+   ref feature; top-1 position selects a (diameter+2)^2 candidate window in
+   the ref, clamped to borders.
+3. Gather that window *at every pyramid scale* (x1 deepest .. x{2^(S-1)}
+   full-res).
+4. **Fine search**: dense normalized 3x3 correlation between all patches of
+   the LQ block and all patches of its ref window -> per-pixel top-1 index +
+   soft attention score.
+5. **Transfer**: for each scale, gather the selected (psize*s)^2 ref patches
+   and overlap-add fold them (divisor-normalized), scaled by the bilinearly
+   resized soft attention -> a warped ref feature pyramid aligned to the LQ.
+
+TPU-first implementation decisions (vs. the CUDA/torch original):
+* All shapes are static given the (padded) input shape: px, py, diameters,
+  window sizes are Python ints at trace time -> single XLA program, MXU
+  matmuls for both correlation products.
+* `F.unfold` -> `lax.conv_general_dilated_patches` (one fused op);
+  `F.fold` -> overlap-add expressed as psize^2 shifted adds (no scatter);
+  per-image `make_grid` loops -> one batched gather.
+* Correlations run in float32 (argmax stability), feature gathers keep the
+  input dtype (bf16-friendly).
+* Fixes the reference's shipped index bug (SURVEY.md §2.5 item 1) by
+  construction: the pyramid is a list whose deepest entry is always
+  `feats[-1]`, and warp scales are derived from the pyramid length.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# unfold / fold primitives
+# ---------------------------------------------------------------------------
+
+
+def unfold_nhwc(
+    x: jnp.ndarray,
+    ks: int,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """torch-F.unfold-compatible patch extraction on NHWC.
+
+    Returns (N, Lh, Lw, C*ks*ks) where the last axis is ordered
+    channel-major: index = c*ks*ks + ki*ks + kj (same as torch.unfold).
+    """
+    patches = lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(ks, ks),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return patches
+
+
+def fold_overlap_add(
+    patches: jnp.ndarray,
+    psize: int,
+    scale: int,
+) -> jnp.ndarray:
+    """torch-F.fold equivalent for the MASA transfer geometry.
+
+    Args:
+      patches: (N, Lh, Lw, C*k*k) with channel-major (c, ki, kj) ordering and
+        k = psize*scale (odd psize).
+      psize: base patch size (kernel = psize*scale, stride = scale,
+        padding = (psize//2)*scale).
+    Returns:
+      (N, Lh*scale, Lw*scale, C) overlap-added canvas (NOT divisor
+      normalized — see fold_divisor).
+    """
+    n, lh, lw, ckk = patches.shape
+    k = psize * scale
+    c = ckk // (k * k)
+    p = patches.reshape(n, lh, lw, c, psize, scale, psize, scale)
+    # -> (n, lh, lw, psize, psize, scale, scale, c)
+    p = p.transpose(0, 1, 2, 4, 6, 5, 7, 3)
+    canvas = jnp.zeros(
+        (n, lh + psize - 1, lw + psize - 1, scale, scale, c), dtype=patches.dtype
+    )
+    for a in range(psize):
+        for b in range(psize):
+            canvas = canvas.at[:, a : a + lh, b : b + lw].add(p[:, :, :, a, b])
+    # (n, LH, s, LW, s, c) -> image
+    canvas = canvas.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, (lh + psize - 1) * scale, (lw + psize - 1) * scale, c
+    )
+    crop = (psize // 2) * scale
+    return canvas[:, crop : crop + lh * scale, crop : crop + lw * scale]
+
+
+def fold_divisor(lh: int, lw: int, psize: int, scale: int) -> jnp.ndarray:
+    """Overlap-count normalizer for fold_overlap_add (data-independent;
+    XLA constant-folds it)."""
+    ones = jnp.ones((1, lh, lw, psize * scale * psize * scale), jnp.float32)
+    return fold_overlap_add(ones, psize, scale)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+
+def _l2n(x, axis, eps=1e-12):
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def masa_coarse_search(
+    lq_blocks: jnp.ndarray,
+    ref_feat: jnp.ndarray,
+    dilations=(1, 2, 3),
+) -> jnp.ndarray:
+    """Multi-dilation center-patch correlation; top-1 over ref positions.
+
+    Args:
+      lq_blocks: (N, pb, ky+2, kx+2, C) haloed LQ blocks of the deepest
+        feature.
+      ref_feat: (N, Hr, Wr, C) deepest ref feature.
+    Returns:
+      (N, pb) int32 flat index into Hr*Wr of the best match.
+    """
+    n, pb, kyh, kxh, c = lq_blocks.shape
+    _, hr, wr, _ = ref_feat.shape
+    cy, cx = kyh // 2, kxh // 2  # center of the haloed block
+    reff = ref_feat.astype(jnp.float32)
+    lqf = lq_blocks.astype(jnp.float32)
+
+    corr_sum = jnp.zeros((n, pb, hr * wr), jnp.float32)
+    for d in dilations:
+        # center 3x3 dilated patch, ordered (c, ki, kj)
+        patch = lqf[:, :, cy - d : cy + d + 1 : d, cx - d : cx + d + 1 : d, :]
+        patch = patch.transpose(0, 1, 4, 2, 3).reshape(n, pb, c * 9)
+        ref_p = unfold_nhwc(reff, 3, padding=d, dilation=d)  # (N, Hr, Wr, c*9)
+        ref_p = ref_p.reshape(n, hr * wr, c * 9)
+        patch = _l2n(patch, axis=-1)
+        ref_p = _l2n(ref_p, axis=-1)
+        corr_sum = corr_sum + jnp.einsum(
+            "npk,nrk->npr", patch, ref_p, preferred_element_type=jnp.float32
+        )
+    return jnp.argmax(corr_sum, axis=-1).astype(jnp.int32)
+
+
+def masa_window_corners(
+    index: jnp.ndarray, hr: int, wr: int, diameter_y: int, diameter_x: int
+):
+    """Convert flat top-1 indices into clamped window corner coordinates.
+
+    Window spans [y1, y1 + diameter_y + 2) x [x1, x1 + diameter_x + 2);
+    clamping reproduces the reference's sequential border masks
+    (network_nafnet_guided_arch.py:634-657), which reduce to a clip.
+    """
+    idx_x = index % wr
+    idx_y = index // wr
+    x1 = jnp.clip(idx_x - diameter_x // 2 - 1, 0, wr - diameter_x - 2)
+    y1 = jnp.clip(idx_y - diameter_y // 2 - 1, 0, hr - diameter_y - 2)
+    return y1, x1
+
+
+def masa_gather_windows(
+    feat: jnp.ndarray,
+    y1: jnp.ndarray,
+    x1: jnp.ndarray,
+    d2y: int,
+    d2x: int,
+    scale: int,
+) -> jnp.ndarray:
+    """Gather per-block ref windows from a pyramid level.
+
+    Args:
+      feat: (N, Hr*scale, Wr*scale, C_s) ref feature at this level.
+      y1, x1: (N, pb) window corners at deepest-scale coordinates.
+      d2y, d2x: window size at deepest scale (diameter+2).
+    Returns:
+      (N, pb, d2y*scale, d2x*scale, C_s).
+    """
+    n, pb = y1.shape
+    iy = y1[..., None] * scale + jnp.arange(d2y * scale)[None, None, :]
+    ix = x1[..., None] * scale + jnp.arange(d2x * scale)[None, None, :]
+    nidx = jnp.arange(n)[:, None, None, None]
+    return feat[nidx, iy[:, :, :, None], ix[:, :, None, :]]
+
+
+def masa_fine_search(
+    lq_blocks: jnp.ndarray,
+    ref_windows: jnp.ndarray,
+    psize: int = 3,
+):
+    """Dense valid 3x3 correlation of LQ block patches vs ref window patches.
+
+    Args:
+      lq_blocks: (NB, ky+2, kx+2, C) — haloed blocks, flattened batch.
+      ref_windows: (NB, d2y, d2x, C) deepest-scale windows.
+    Returns:
+      index: (NB, ky, kx) int32 into the (d2y-2)*(d2x-2) patch grid.
+      soft_att: (NB, ky, kx) float32 top-1 correlation score.
+    """
+    nb, kyh, kxh, c = lq_blocks.shape
+    _, d2y, d2x, _ = ref_windows.shape
+    ky, kx = kyh - 2, kxh - 2
+    ry, rx = d2y - psize + 1, d2x - psize + 1
+
+    lq_p = unfold_nhwc(lq_blocks.astype(jnp.float32), psize)  # (NB, ky, kx, 9c)
+    ref_p = unfold_nhwc(ref_windows.astype(jnp.float32), psize)  # (NB, ry, rx, 9c)
+    lq_p = _l2n(lq_p.reshape(nb, ky * kx, -1), axis=-1)
+    ref_p = _l2n(ref_p.reshape(nb, ry * rx, -1), axis=-1)
+    corr = jnp.einsum(
+        "nlk,nrk->nlr", lq_p, ref_p, preferred_element_type=jnp.float32
+    )  # (NB, ky*kx, ry*rx)
+    index = jnp.argmax(corr, axis=-1).astype(jnp.int32)
+    soft = jnp.take_along_axis(corr, index[..., None], axis=-1)[..., 0]
+    return index.reshape(nb, ky, kx), soft.reshape(nb, ky, kx)
+
+
+def masa_transfer(
+    ref_window: jnp.ndarray,
+    index: jnp.ndarray,
+    soft_att: jnp.ndarray,
+    psize: int,
+    scale: int,
+) -> jnp.ndarray:
+    """Warp a ref window onto the LQ block grid at one pyramid scale.
+
+    Args:
+      ref_window: (NB, d2y*scale, d2x*scale, C_s).
+      index: (NB, ky, kx) int32 patch indices (deepest-scale grid).
+      soft_att: (NB, ky, kx) correlation scores.
+    Returns:
+      (NB, ky*scale, kx*scale, C_s).
+    """
+    nb, ky, kx = index.shape
+    k = psize * scale
+    patches = unfold_nhwc(ref_window, k, stride=scale)  # (NB, ry, rx, k*k*C)
+    _, ry, rx, ckk = patches.shape
+    flat = patches.reshape(nb, ry * rx, ckk)
+    sel = jnp.take_along_axis(
+        flat, index.reshape(nb, ky * kx, 1), axis=1
+    )  # (NB, ky*kx, ckk)
+    sel = sel.reshape(nb, ky, kx, ckk)
+    out = fold_overlap_add(sel.astype(jnp.float32), psize, scale)
+    div = fold_divisor(ky, kx, psize, scale)
+    att = jax.image.resize(
+        soft_att[..., None].astype(jnp.float32),
+        (nb, ky * scale, kx * scale, 1),
+        method="bilinear",
+    )
+    return (out / div * att).astype(ref_window.dtype)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+
+def _blocks_to_image(x: jnp.ndarray, n: int, py: int, px: int) -> jnp.ndarray:
+    """(N*py*px, bh, bw, C) -> (N, py*bh, px*bw, C)."""
+    _, bh, bw, c = x.shape
+    x = x.reshape(n, py, px, bh, bw, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, py * bh, px * bw, c)
+
+
+def masa_match_and_warp(
+    feat_lq_deep: jnp.ndarray,
+    feat_ref_pyramid: list[jnp.ndarray],
+    lr_block_size: int,
+    ref_down_block_size: float = 1.5,
+    psize: int = 3,
+    dilations=(1, 2, 3),
+) -> list[jnp.ndarray]:
+    """Full MASA: coarse search on the deepest level, window gather at every
+    level, fine search, transfer.
+
+    Args:
+      feat_lq_deep: (N, H, W, C) deepest LQ feature (stride 2^(S-1)).
+      feat_ref_pyramid: S ref features, shallow->deep:
+        [(N, H*2^(S-1), W*2^(S-1), C0), ..., (N, H, W, C)].
+      lr_block_size: block size at the deepest level (config lr_block_size).
+    Returns:
+      warp pyramid shallow->deep: [(N, H*2^(S-1), W*2^(S-1), C0), ...,
+      (N, H, W, C)] aligned to the LQ coordinate frame.
+    """
+    n, h, w, c = feat_lq_deep.shape
+    deep_ref = feat_ref_pyramid[-1]
+    _, hr, wr, _ = deep_ref.shape
+    nscales = len(feat_ref_pyramid)
+
+    px = max(w // lr_block_size, 1)
+    py = max(h // lr_block_size, 1)
+    kx = w // px
+    ky = h // py
+    diameter_x = 2 * int(wr / (2 * px) * ref_down_block_size) + 1
+    diameter_y = 2 * int(hr / (2 * py) * ref_down_block_size) + 1
+    # Window must fit: clamp to ref extent.
+    diameter_x = min(diameter_x, wr - 2)
+    diameter_y = min(diameter_y, hr - 2)
+    d2y, d2x = diameter_y + 2, diameter_x + 2
+
+    # haloed LQ blocks (replicate border), block grid (py, px)
+    lq_pad = jnp.pad(feat_lq_deep, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # extract (ky+2, kx+2) windows at stride (ky, kx)
+    bl = lax.conv_general_dilated_patches(
+        lq_pad,
+        filter_shape=(ky + 2, kx + 2),
+        window_strides=(ky, kx),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (N, py, px, C*(ky+2)*(kx+2)) channel-major (c, ki, kj)
+    bl = bl.reshape(n, py * px, c, ky + 2, kx + 2)
+    lq_blocks = bl.transpose(0, 1, 3, 4, 2)  # (N, pb, ky+2, kx+2, C)
+
+    # coarse search + window corners
+    top1 = masa_coarse_search(lq_blocks, deep_ref, dilations)
+    y1, x1 = masa_window_corners(top1, hr, wr, diameter_y, diameter_x)
+
+    # fine search on the deepest-scale window
+    win_deep = masa_gather_windows(deep_ref, y1, x1, d2y, d2x, 1)
+    nb = n * py * px
+    lq_blocks_f = lq_blocks.reshape(nb, ky + 2, kx + 2, c)
+    win_deep_f = win_deep.reshape(nb, d2y, d2x, c)
+    index, soft_att = masa_fine_search(lq_blocks_f, win_deep_f, psize)
+
+    # transfer at every scale (deep -> shallow scales 1, 2, 4, ...)
+    warps = []
+    for level in range(nscales):  # level 0 = shallowest (full res)
+        scale = 2 ** (nscales - 1 - level)
+        feat = feat_ref_pyramid[level]
+        win = masa_gather_windows(feat, y1, x1, d2y, d2x, scale)
+        win = win.reshape(nb, d2y * scale, d2x * scale, feat.shape[-1])
+        warped = masa_transfer(win, index, soft_att, psize, scale)
+        warps.append(_blocks_to_image(warped, n, py, px))
+    return warps
