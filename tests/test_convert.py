@@ -1,0 +1,92 @@
+"""Checkpoint-conversion parity: torch oracle weights -> Flax, outputs must
+match bit-close in f32.  This is the lossless-conversion gate required by
+BASELINE.json."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from textualdegremoval_tpu.convert import convert_state_dict
+from textualdegremoval_tpu.convert.torch_to_jax import verify_against_init
+from textualdegremoval_tpu.models.restormer import Restormer, RestormerRefFusion
+from textualdegremoval_tpu.models.nafnet import NAFNet
+
+from torch_oracles import ORestormer, ONAFNet, ORestormerRefFusion
+
+KEY = jax.random.PRNGKey(0)
+
+
+def randomize(torch_model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in torch_model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    return torch_model
+
+
+class TestRestormerConversion:
+    def test_forward_parity(self):
+        tm = randomize(ORestormer(dim=8, num_blocks=(1, 1, 1, 1),
+                                  num_refinement_blocks=1, heads=(1, 1, 2, 2)))
+        tm.eval()
+        x = torch.randn(1, 3, 32, 32, generator=torch.Generator().manual_seed(1))
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        fm = Restormer(dim=8, num_blocks=(1, 1, 1, 1),
+                       num_refinement_blocks=1, heads=(1, 1, 2, 2))
+        params = {"params": convert_state_dict(tm.state_dict())}
+        init = fm.init(KEY, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        assert verify_against_init(params["params"], init["params"]) == []
+
+        got = fm.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4
+        )
+
+
+class TestNAFNetConversion:
+    def test_forward_parity(self):
+        tm = randomize(ONAFNet(width=8, enc_blk_nums=(1, 1), dec_blk_nums=(1, 1)))
+        tm.eval()
+        x = torch.randn(1, 3, 16, 16, generator=torch.Generator().manual_seed(2))
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        fm = NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                    dec_blk_nums=(1, 1))
+        params = {"params": convert_state_dict(tm.state_dict())}
+        init = fm.init(KEY, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        assert verify_against_init(params["params"], init["params"]) == []
+
+        got = fm.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4
+        )
+
+
+class TestRefFusionConversion:
+    def test_forward_parity(self):
+        kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                  heads=(1, 1, 2, 2), nf=8, ext_n_blocks=(1, 1, 1, 1),
+                  reffusion_n_blocks=(1, 1, 1, 1), lr_block_size=4)
+        tm = randomize(ORestormerRefFusion(**{k: v for k, v in kw.items()}))
+        tm.eval()
+        g = torch.Generator().manual_seed(3)
+        lq = torch.randn(1, 3, 32, 32, generator=g)
+        ref = torch.randn(1, 3, 32, 32, generator=g)
+        with torch.no_grad():
+            want = tm(lq, ref).numpy()
+
+        fm = RestormerRefFusion(**kw)
+        params = {"params": convert_state_dict(tm.state_dict())}
+        lq_j = jnp.asarray(lq.numpy().transpose(0, 2, 3, 1))
+        ref_j = jnp.asarray(ref.numpy().transpose(0, 2, 3, 1))
+        init = fm.init(KEY, lq_j, ref_j)
+        assert verify_against_init(params["params"], init["params"]) == []
+
+        got = fm.apply(params, lq_j, ref_j)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4
+        )

@@ -101,3 +101,352 @@ def masa_oracle(
         wp = wp.view(n, py, px, cs, ky * s, kx * s).permute(0, 3, 1, 4, 2, 5)
         warps.append(wp.reshape(n, cs, py * ky * s, px * kx * s))
     return warps
+
+
+# ---------------------------------------------------------------------------
+# Torch oracle models (tiny replicas built from the documented architecture,
+# used to verify checkpoint conversion + full-model numerics).
+# ---------------------------------------------------------------------------
+
+import torch.nn as nn
+
+
+class OLayerNorm(nn.Module):
+    def __init__(self, dim, ln_type):
+        super().__init__()
+        self.ln_type = ln_type
+        self.body = nn.Module()
+        self.body.weight = nn.Parameter(torch.ones(dim))
+        if ln_type == "WithBias":
+            self.body.bias = nn.Parameter(torch.zeros(dim))
+
+    def forward(self, x):
+        # x NCHW -> LN over C
+        xp = x.permute(0, 2, 3, 1)
+        var = xp.var(-1, keepdim=True, unbiased=False)
+        if self.ln_type == "BiasFree":
+            y = xp / torch.sqrt(var + 1e-5) * self.body.weight
+        else:
+            mu = xp.mean(-1, keepdim=True)
+            y = (xp - mu) / torch.sqrt(var + 1e-5) * self.body.weight + self.body.bias
+        return y.permute(0, 3, 1, 2)
+
+
+class OMDTA(nn.Module):
+    def __init__(self, dim, num_heads, bias):
+        super().__init__()
+        self.num_heads = num_heads
+        self.temperature = nn.Parameter(torch.ones(num_heads, 1, 1))
+        self.qkv = nn.Conv2d(dim, dim * 3, 1, bias=bias)
+        self.qkv_dwconv = nn.Conv2d(dim * 3, dim * 3, 3, padding=1, groups=dim * 3, bias=bias)
+        self.project_out = nn.Conv2d(dim, dim, 1, bias=bias)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        qkv = self.qkv_dwconv(self.qkv(x))
+        q, k, v = qkv.chunk(3, dim=1)
+        hd = self.num_heads
+
+        def heads(t):
+            return t.view(b, hd, c // hd, h * w)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = F.normalize(q, dim=-1)
+        k = F.normalize(k, dim=-1)
+        attn = (q @ k.transpose(-2, -1)) * self.temperature
+        out = attn.softmax(dim=-1) @ v
+        out = out.view(b, c, h, w)
+        return self.project_out(out)
+
+
+class OGDFN(nn.Module):
+    def __init__(self, dim, ffn_factor, bias):
+        super().__init__()
+        hidden = int(dim * ffn_factor)
+        self.project_in = nn.Conv2d(dim, hidden * 2, 1, bias=bias)
+        self.dwconv = nn.Conv2d(hidden * 2, hidden * 2, 3, padding=1, groups=hidden * 2, bias=bias)
+        self.project_out = nn.Conv2d(hidden, dim, 1, bias=bias)
+
+    def forward(self, x):
+        x1, x2 = self.dwconv(self.project_in(x)).chunk(2, dim=1)
+        return self.project_out(F.gelu(x1) * x2)
+
+
+class OTransformerBlock(nn.Module):
+    def __init__(self, dim, heads, ffn_factor, bias, ln_type, fusion=False):
+        super().__init__()
+        self.norm1 = OLayerNorm(dim, ln_type)
+        self.attn = OMDTA(dim, heads, bias)
+        self.norm2 = OLayerNorm(dim, ln_type)
+        self.ffn = OGDFN(dim, ffn_factor, bias)
+        self.fusion = fusion
+        if fusion:
+            self.alpha = nn.Parameter(torch.zeros(1))
+
+    def forward(self, x):
+        sc = x
+        x = x + self.attn(self.norm1(x))
+        x = x + self.ffn(self.norm2(x))
+        if self.fusion:
+            return x * self.alpha + sc
+        return x
+
+
+class ODownsample(nn.Module):
+    def __init__(self, n_feat):
+        super().__init__()
+        self.body = nn.Sequential(
+            nn.Conv2d(n_feat, n_feat // 2, 3, padding=1, bias=False),
+            nn.PixelUnshuffle(2),
+        )
+
+    def forward(self, x):
+        return self.body(x)
+
+
+class OUpsample(nn.Module):
+    def __init__(self, n_feat):
+        super().__init__()
+        self.body = nn.Sequential(
+            nn.Conv2d(n_feat, n_feat * 2, 3, padding=1, bias=False),
+            nn.PixelShuffle(2),
+        )
+
+    def forward(self, x):
+        return self.body(x)
+
+
+class ORestormer(nn.Module):
+    def __init__(self, inp_channels=3, out_channels=3, dim=8,
+                 num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                 heads=(1, 1, 2, 2), ffn_factor=2.66, bias=False,
+                 ln_type="WithBias"):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(inp_channels, dim, 3, padding=1, bias=bias)
+
+        def seq(d, h, n):
+            return nn.Sequential(*[
+                OTransformerBlock(d, h, ffn_factor, bias, ln_type)
+                for _ in range(n)])
+
+        self.encoder_level1 = seq(dim, heads[0], num_blocks[0])
+        self.down1_2 = ODownsample(dim)
+        self.encoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.down2_3 = ODownsample(dim * 2)
+        self.encoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.down3_4 = ODownsample(dim * 4)
+        self.latent = seq(dim * 8, heads[3], num_blocks[3])
+        self.up4_3 = OUpsample(dim * 8)
+        self.reduce_chan_level3 = nn.Conv2d(dim * 8, dim * 4, 1, bias=bias)
+        self.decoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.up3_2 = OUpsample(dim * 4)
+        self.reduce_chan_level2 = nn.Conv2d(dim * 4, dim * 2, 1, bias=bias)
+        self.decoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.up2_1 = OUpsample(dim * 2)
+        self.decoder_level1 = seq(dim * 2, heads[0], num_blocks[0])
+        self.refinement = seq(dim * 2, heads[0], num_refinement_blocks)
+        self.output = nn.Conv2d(dim * 2, out_channels, 3, padding=1, bias=bias)
+
+    def forward(self, x):
+        e1 = self.encoder_level1(self.patch_embed.proj(x))
+        e2 = self.encoder_level2(self.down1_2(e1))
+        e3 = self.encoder_level3(self.down2_3(e2))
+        lat = self.latent(self.down3_4(e3))
+        d3 = self.decoder_level3(self.reduce_chan_level3(
+            torch.cat([self.up4_3(lat), e3], 1)))
+        d2 = self.decoder_level2(self.reduce_chan_level2(
+            torch.cat([self.up3_2(d3), e2], 1)))
+        d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
+        return self.output(self.refinement(d1)) + x
+
+
+class ONAFBlock(nn.Module):
+    def __init__(self, c, dw_expand=2, ffn_expand=2):
+        super().__init__()
+        dw = c * dw_expand
+        self.conv1 = nn.Conv2d(c, dw, 1)
+        self.conv2 = nn.Conv2d(dw, dw, 3, padding=1, groups=dw)
+        self.conv3 = nn.Conv2d(dw // 2, c, 1)
+        self.sca = nn.Sequential(nn.AdaptiveAvgPool2d(1),
+                                 nn.Conv2d(dw // 2, dw // 2, 1))
+        self.conv4 = nn.Conv2d(c, ffn_expand * c, 1)
+        self.conv5 = nn.Conv2d(ffn_expand * c // 2, c, 1)
+        self.norm1 = OLayerNorm2d(c)
+        self.norm2 = OLayerNorm2d(c)
+        self.beta = nn.Parameter(torch.zeros(1, c, 1, 1))
+        self.gamma = nn.Parameter(torch.zeros(1, c, 1, 1))
+
+    @staticmethod
+    def _sg(x):
+        a, b = x.chunk(2, dim=1)
+        return a * b
+
+    def forward(self, inp):
+        x = self.norm1(inp)
+        x = self.conv2(self.conv1(x))
+        x = self._sg(x)
+        x = x * self.sca(x)
+        x = self.conv3(x)
+        y = inp + x * self.beta
+        x = self.conv4(self.norm2(y))
+        x = self._sg(x)
+        x = self.conv5(x)
+        return y + x * self.gamma
+
+
+class OLayerNorm2d(nn.Module):
+    def __init__(self, c, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(c))
+        self.bias = nn.Parameter(torch.zeros(c))
+        self.eps = eps
+
+    def forward(self, x):
+        xp = x.permute(0, 2, 3, 1)
+        mu = xp.mean(-1, keepdim=True)
+        var = xp.var(-1, keepdim=True, unbiased=False)
+        y = (xp - mu) / torch.sqrt(var + self.eps) * self.weight + self.bias
+        return y.permute(0, 3, 1, 2)
+
+
+class ONAFNet(nn.Module):
+    def __init__(self, img_channel=3, width=8, middle_blk_num=1,
+                 enc_blk_nums=(1, 1, 1, 1), dec_blk_nums=(1, 1, 1, 1)):
+        super().__init__()
+        self.intro = nn.Conv2d(img_channel, width, 3, padding=1)
+        self.ending = nn.Conv2d(width, img_channel, 3, padding=1)
+        self.encoders = nn.ModuleList()
+        self.downs = nn.ModuleList()
+        self.decoders = nn.ModuleList()
+        self.ups = nn.ModuleList()
+        chan = width
+        for n in enc_blk_nums:
+            self.encoders.append(nn.Sequential(*[ONAFBlock(chan) for _ in range(n)]))
+            self.downs.append(nn.Conv2d(chan, 2 * chan, 2, 2))
+            chan *= 2
+        self.middle_blks = nn.Sequential(*[ONAFBlock(chan) for _ in range(middle_blk_num)])
+        for n in dec_blk_nums:
+            self.ups.append(nn.Sequential(nn.Conv2d(chan, chan * 2, 1, bias=False),
+                                          nn.PixelShuffle(2)))
+            chan //= 2
+            self.decoders.append(nn.Sequential(*[ONAFBlock(chan) for _ in range(n)]))
+
+    def forward(self, x):
+        inp = x
+        x = self.intro(x)
+        encs = []
+        for enc, down in zip(self.encoders, self.downs):
+            x = enc(x)
+            encs.append(x)
+            x = down(x)
+        x = self.middle_blks(x)
+        for dec, up, skip in zip(self.decoders, self.ups, encs[::-1]):
+            x = up(x) + skip
+            x = dec(x)
+        return self.ending(x) + inp
+
+
+class OMASAEncoder(nn.Module):
+    def __init__(self, in_chl, nf, n_blocks=(1, 1, 1, 1), num_levels=4):
+        super().__init__()
+        self.num_levels = num_levels
+        for lvl in range(num_levels):
+            ch = nf * 2 ** lvl
+            stride = 1 if lvl == 0 else 2
+            in_c = in_chl if lvl == 0 else nf * 2 ** (lvl - 1)
+            setattr(self, f"conv_L{lvl + 1}", nn.Conv2d(in_c, ch, 3, stride, 1))
+            blocks = nn.Sequential(*[OResidualBlock(ch) for _ in range(n_blocks[min(lvl, len(n_blocks) - 1)])])
+            setattr(self, f"blk_L{lvl + 1}", blocks)
+
+    def forward(self, x):
+        feats = []
+        for lvl in range(self.num_levels):
+            x = getattr(self, f"blk_L{lvl + 1}")(
+                F.relu(getattr(self, f"conv_L{lvl + 1}")(x)))
+            feats.append(x)
+        return feats
+
+
+class OResidualBlock(nn.Module):
+    def __init__(self, nf):
+        super().__init__()
+        self.conv1 = nn.Conv2d(nf, nf, 3, padding=1)
+        self.conv2 = nn.Conv2d(nf, nf, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv2(F.relu(self.conv1(x))) + x
+
+
+class ORestormerRefFusion(nn.Module):
+    """Torch oracle of the guided Restormer: 4-level MASA + fusion blocks."""
+
+    def __init__(self, inp_channels=3, dim=8, num_blocks=(1, 1, 1, 1),
+                 num_refinement_blocks=1, heads=(1, 1, 2, 2), ffn_factor=2.66,
+                 bias=False, ln_type="WithBias", nf=8, ext_n_blocks=(1, 1, 1, 1),
+                 reffusion_n_blocks=(1, 1, 1, 1), lr_block_size=4):
+        super().__init__()
+        self.lr_block_size = lr_block_size
+        self.masa_enc = OMASAEncoder(inp_channels, nf, ext_n_blocks, 4)
+
+        def seq(d, h, n, fusion=False):
+            return nn.Sequential(*[
+                OTransformerBlock(d, h, ffn_factor, bias, ln_type, fusion)
+                for _ in range(n)])
+
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(inp_channels, dim, 3, padding=1, bias=bias)
+        self.masa_blk_enc_level1 = seq(dim * 2, heads[0], reffusion_n_blocks[0], True)
+        self.encoder_level1 = seq(dim, heads[0], num_blocks[0])
+        self.down1_2 = ODownsample(dim)
+        self.masa_blk_enc_level2 = seq(dim * 4, heads[1], reffusion_n_blocks[1], True)
+        self.encoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.down2_3 = ODownsample(dim * 2)
+        self.masa_blk_enc_level3 = seq(dim * 8, heads[2], reffusion_n_blocks[2], True)
+        self.encoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.down3_4 = ODownsample(dim * 4)
+        self.masa_blk_enc_level4 = seq(dim * 16, heads[3], reffusion_n_blocks[3], True)
+        self.latent = seq(dim * 8, heads[3], num_blocks[3])
+        self.up4_3 = OUpsample(dim * 8)
+        self.reduce_chan_level3 = nn.Conv2d(dim * 8, dim * 4, 1, bias=bias)
+        self.decoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.up3_2 = OUpsample(dim * 4)
+        self.reduce_chan_level2 = nn.Conv2d(dim * 4, dim * 2, 1, bias=bias)
+        self.decoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.up2_1 = OUpsample(dim * 2)
+        self.decoder_level1 = seq(dim * 2, heads[0], num_blocks[0])
+        self.refinement = seq(dim * 2, heads[0], num_refinement_blocks)
+        self.output = nn.Conv2d(dim * 2, 3, 3, padding=1, bias=bias)
+
+    def forward(self, inp, ref):
+        feat_lq = self.masa_enc(inp)
+        feat_ref = self.masa_enc(ref)
+        # dilations that fit the haloed block (matches the JAX op's filter)
+        ky = feat_lq[-1].shape[-2] // max(feat_lq[-1].shape[-2] // self.lr_block_size, 1)
+        cy = (ky + 2) // 2
+        dil = [d for d in (1, 2, 3) if cy - d >= 0 and cy + d < ky + 2] or [1]
+        warp = masa_oracle(feat_lq[-1], feat_ref, self.lr_block_size,
+                           dilations=dil)
+
+        def fuse(x, w, blocks):
+            cat = torch.cat([x, w], dim=1)
+            return blocks(cat)[:, : cat.size(1) // 2]
+
+        x = self.patch_embed.proj(inp)
+        x = fuse(x, warp[0], self.masa_blk_enc_level1)
+        e1 = self.encoder_level1(x)
+        x = self.down1_2(e1)
+        x = fuse(x, warp[1], self.masa_blk_enc_level2)
+        e2 = self.encoder_level2(x)
+        x = self.down2_3(e2)
+        x = fuse(x, warp[2], self.masa_blk_enc_level3)
+        e3 = self.encoder_level3(x)
+        x = self.down3_4(e3)
+        x = fuse(x, warp[3], self.masa_blk_enc_level4)
+        lat = self.latent(x)
+        d3 = self.decoder_level3(self.reduce_chan_level3(
+            torch.cat([self.up4_3(lat), e3], 1)))
+        d2 = self.decoder_level2(self.reduce_chan_level2(
+            torch.cat([self.up3_2(d3), e2], 1)))
+        d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
+        return self.output(self.refinement(d1)) + inp

@@ -1,0 +1,117 @@
+"""Lossless PyTorch -> Flax checkpoint conversion for the restoration nets.
+
+The reference saves networks as ``{'params': state_dict}`` (+ optional
+``'params_ema'``) with possible ``module.`` DDP prefixes
+(models/base_model.py:213-244).  This module maps those keys onto our Flax
+module tree:
+
+* torch ``a.b.3.c``      -> flax ``a/b_3/c``   (sequential index merging)
+* conv  ``weight`` OIHW  -> ``kernel`` HWIO    (depthwise included)
+* linear ``weight`` (o,i)-> ``kernel`` (i,o)
+* LayerNorm wrappers (``norm1.body.*``), Down/Upsample sequentials
+  (``body.0``), SCA sequentials (``sca.1``), NAFNet up convs (``ups.N.0``)
+  are flattened to our explicit names.
+* NAFNet ``beta``/``gamma`` (1,C,1,1) -> (1,1,1,C).
+
+Conversion is pure numpy — no torch import needed if the caller already has
+numpy arrays; ``load_torch_checkpoint`` handles ``.pth`` reading.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+import flax.traverse_util as traverse_util
+
+# order matters: structural rewrites before index merging
+_REWRITES = [
+    (re.compile(r"^module\."), ""),
+    (re.compile(r"\.body\.0\.(weight|bias)$"), r".conv.\1"),  # Down/Upsample
+    (re.compile(r"(norm\d?|norm)\.body\."), r"\1."),  # Restormer LN wrapper
+    (re.compile(r"\.sca\.1\."), ".sca.conv."),  # NAFNet SCA sequential
+    (re.compile(r"\.ups\.(\d+)\.0\."), r".ups.\1."),  # NAFNet up conv
+    (re.compile(r"^ups\.(\d+)\.0\."), r"ups.\1."),
+]
+
+# leaves that are parameters of our hand-rolled modules (keep name 'weight')
+_LN_LEAVES = {"weight", "bias"}
+_PASSTHROUGH_LEAVES = {"temperature", "alpha", "attn1", "attn2", "attn3", "attn4"}
+
+
+def _torch_key_to_flax_path(key: str) -> tuple[str, ...]:
+    for pat, rep in _REWRITES:
+        key = pat.sub(rep, key)
+    segs = key.split(".")
+    merged: list[str] = []
+    for s in segs:
+        if s.isdigit() and merged:
+            merged[-1] = f"{merged[-1]}_{s}"
+        else:
+            merged.append(s)
+    return tuple(merged)
+
+
+def _convert_leaf(path: tuple[str, ...], arr: np.ndarray):
+    """Returns (new_path, new_array)."""
+    leaf = path[-1]
+    if leaf == "weight":
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            return path[:-1] + ("kernel",), arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:  # linear (o,i) -> (i,o)
+            return path[:-1] + ("kernel",), arr.T
+        # 1-D weight: layer-norm scale of our custom modules
+        return path, arr
+    if leaf in ("beta", "gamma") and arr.ndim == 4:
+        # NAFNet residual scales (1,C,1,1) -> (1,1,1,C)
+        return path, arr.transpose(0, 2, 3, 1)
+    return path, arr
+
+
+def convert_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """Convert a torch (name -> tensor/ndarray) dict to a nested Flax params
+    tree (the value for the 'params' collection)."""
+    flat = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        path = _torch_key_to_flax_path(k)
+        path, arr = _convert_leaf(path, arr)
+        flat[path] = arr
+    return traverse_util.unflatten_dict(flat)
+
+
+def load_torch_checkpoint(path: str, key: str = "params") -> dict:
+    """Read a reference ``net_g_*.pth`` and return Flax params.
+
+    ``key`` selects 'params' or 'params_ema' (reference
+    base_model.py:281-309 semantics, including raw state dicts without the
+    wrapper)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and key in ckpt:
+        ckpt = ckpt[key]
+    return convert_state_dict(ckpt)
+
+
+def verify_against_init(converted: dict, init_params: dict) -> list[str]:
+    """Compare a converted tree against a freshly initialized one; returns a
+    list of human-readable mismatch descriptions (empty == exact match),
+    mirroring the reference's lenient key-diff logging
+    (base_model.py:246-279)."""
+    a = traverse_util.flatten_dict(converted)
+    b = traverse_util.flatten_dict(init_params)
+    msgs = []
+    for k in sorted(set(a) | set(b), key="/".join):
+        if k not in a:
+            msgs.append(f"missing in checkpoint: {'/'.join(k)} {b[k].shape}")
+        elif k not in b:
+            msgs.append(f"unexpected in checkpoint: {'/'.join(k)} {a[k].shape}")
+        elif tuple(a[k].shape) != tuple(b[k].shape):
+            msgs.append(
+                f"shape mismatch {'/'.join(k)}: ckpt {a[k].shape} vs "
+                f"model {b[k].shape}"
+            )
+    return msgs

@@ -1,0 +1,362 @@
+"""Shared Flax layers for the restoration backbones (NHWC).
+
+Module/parameter names deliberately mirror the reference's torch module names
+so the PyTorch->Orbax checkpoint converter is a mechanical key mapping
+(see textualdegremoval_tpu/convert/).
+
+Parity targets are cited per class (semantics re-derived, not translated).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from textualdegremoval_tpu.ops import (
+    bias_free_layer_norm,
+    with_bias_layer_norm,
+    layer_norm_2d,
+    pixel_shuffle,
+    pixel_unshuffle,
+    simple_gate,
+    mdta_attention,
+    masa_match_and_warp,
+)
+from textualdegremoval_tpu.ops.tlc import local_avg_pool, tlc_kernel_size
+
+
+class Conv(nn.Module):
+    """3x3/1x1/strided conv in NHWC; thin wrapper fixing param dtype=f32."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        return nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(k // 2, k // 2), (k // 2, k // 2)] if self.stride == 1 or k > 1 else "VALID",
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Restormer LayerNorm (network_restormer_guided_arch.py:172-218)."""
+
+    dim: int
+    ln_type: str = "WithBias"  # or "BiasFree"
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        if self.ln_type == "BiasFree":
+            return bias_free_layer_norm(x, weight)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return with_bias_layer_norm(x, weight, bias)
+
+
+class LayerNorm2d(nn.Module):
+    """NAFNet LayerNorm2d (nafnet_arch_utils.py:264-300), eps=1e-6."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return layer_norm_2d(x, weight, bias)
+
+
+class MDTAAttention(nn.Module):
+    """MDTA transposed channel attention
+    (network_restormer_guided_arch.py:246-277)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        cph = c // heads
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (heads, 1, 1)
+        )
+        qkv = nn.Conv(self.dim * 3, (1, 1), use_bias=self.use_bias,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = nn.Conv(self.dim * 3, (3, 3), padding=1,
+                      feature_group_count=self.dim * 3, use_bias=self.use_bias,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t):
+            return t.reshape(b, h * w, heads, cph).transpose(0, 2, 3, 1)
+
+        out = mdta_attention(to_heads(q), to_heads(k), to_heads(v), temperature)
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="project_out")(out)
+
+
+class GDFN(nn.Module):
+    """Gated-dconv FFN (network_restormer_guided_arch.py:223-241)."""
+
+    dim: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.ffn_expansion_factor)
+        x = nn.Conv(hidden * 2, (1, 1), use_bias=self.use_bias,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="project_in")(x)
+        x = nn.Conv(hidden * 2, (3, 3), padding=1,
+                    feature_group_count=hidden * 2, use_bias=self.use_bias,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="dwconv")(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = jax.nn.gelu(x1, approximate=False) * x2
+        return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="project_out")(x)
+
+
+class TransformerBlock(nn.Module):
+    """Restormer block (network_restormer_guided_arch.py:318-331)."""
+
+    dim: int
+    num_heads: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    ln_type: str = "WithBias"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
+                              self.dtype, name="attn")(
+            ChannelLayerNorm(self.dim, self.ln_type, name="norm1")(x))
+        x = x + GDFN(self.dim, self.ffn_expansion_factor, self.use_bias,
+                     self.dtype, name="ffn")(
+            ChannelLayerNorm(self.dim, self.ln_type, name="norm2")(x))
+        return x
+
+
+class TransformerResFusionBlock(nn.Module):
+    """Fusion block with zero-init scalar gate
+    (network_restormer_guided_arch.py:334-353): out = block(x)*alpha + x."""
+
+    dim: int
+    num_heads: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    ln_type: str = "WithBias"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        shortcut = x
+        x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
+                              self.dtype, name="attn")(
+            ChannelLayerNorm(self.dim, self.ln_type, name="norm1")(x))
+        x = x + GDFN(self.dim, self.ffn_expansion_factor, self.use_bias,
+                     self.dtype, name="ffn")(
+            ChannelLayerNorm(self.dim, self.ln_type, name="norm2")(x))
+        return x * alpha.astype(x.dtype) + shortcut
+
+
+class OverlapPatchEmbed(nn.Module):
+    """3x3 conv embed (network_restormer_guided_arch.py:358-367)."""
+
+    embed_dim: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.embed_dim, (3, 3), padding=1, use_bias=self.use_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="proj")(x)
+
+
+class Downsample(nn.Module):
+    """conv C->C/2 + PixelUnshuffle(2) -> 2C at half res
+    (network_restormer_guided_arch.py:372-380)."""
+
+    n_feat: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.n_feat // 2, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        return pixel_unshuffle(x, 2)
+
+
+class Upsample(nn.Module):
+    """conv C->2C + PixelShuffle(2) -> C/2 at double res
+    (network_restormer_guided_arch.py:383-391)."""
+
+    n_feat: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.n_feat * 2, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        return pixel_shuffle(x, 2)
+
+
+class ResidualBlock(nn.Module):
+    """conv-relu-conv + x (network_nafnet_guided_arch.py:44-59)."""
+
+    nf: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.Conv(self.nf, (3, 3), padding=1, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = nn.relu(out)
+        out = nn.Conv(self.nf, (3, 3), padding=1, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv2")(out)
+        return out + x
+
+
+class MASAEncoder(nn.Module):
+    """Multi-scale ResidualBlock feature extractor
+    (network_nafnet_guided_arch.py:110-143, 4-level variant in the other
+    guided archs).  Returns features shallow->deep, channels nf*2^level."""
+
+    nf: int
+    n_blocks: Sequence[int] = (4, 4, 4, 4)
+    num_levels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for level in range(self.num_levels):
+            ch = self.nf * (2 ** level)
+            stride = 1 if level == 0 else 2
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding=1,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv_L{level + 1}")(x)
+            x = nn.relu(x)
+            nblk = self.n_blocks[min(level, len(self.n_blocks) - 1)]
+            for i in range(nblk):
+                x = ResidualBlock(ch, self.dtype, name=f"blk_L{level + 1}_{i}")(x)
+            feats.append(x)
+        return feats
+
+
+class MASAModule(nn.Module):
+    """Shared-encoder MASA matcher: extracts pyramids from lq and ref and
+    returns the warped ref pyramid (shallow->deep) aligned to lq.
+
+    Composes MASAEncoder with ops.masa.masa_match_and_warp; fixes the
+    reference's pyramid-index bug (SURVEY.md §2.5.1) by construction.
+    """
+
+    nf: int
+    n_blocks: Sequence[int] = (4, 4, 4, 4)
+    num_levels: int = 4
+    lr_block_size: int = 8
+    ref_down_block_size: float = 1.5
+    psize: int = 3
+    dilations: Sequence[int] = (1, 2, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lq, ref):
+        enc = MASAEncoder(self.nf, self.n_blocks, self.num_levels,
+                          self.dtype, name="masa_enc")
+        feat_lq = enc(lq)
+        feat_ref = enc(ref)
+        return masa_match_and_warp(
+            feat_lq[-1],
+            feat_ref,
+            lr_block_size=self.lr_block_size,
+            ref_down_block_size=self.ref_down_block_size,
+            psize=self.psize,
+            dilations=tuple(self.dilations),
+        )
+
+
+# ---------------------------------------------------------------------------
+# NAFNet blocks
+# ---------------------------------------------------------------------------
+
+
+class SCA(nn.Module):
+    """Simplified channel attention: GAP (or TLC local pool) -> 1x1 conv ->
+    scale (network_nafnet_guided_arch.py:192-196)."""
+
+    dim: int
+    tlc_kernel: tuple[int, int] | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.tlc_kernel is None:
+            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        else:
+            pooled = local_avg_pool(x, self.tlc_kernel)
+        w = nn.Conv(self.dim, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(pooled)
+        return x * w
+
+
+class NAFBlock(nn.Module):
+    """NAFNet block (network_nafnet_guided_arch.py:178-238)."""
+
+    dim: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    tlc_kernel: tuple[int, int] | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp):
+        c = self.dim
+        dw = c * self.dw_expand
+        x = LayerNorm2d(c, name="norm1")(inp)
+        x = nn.Conv(dw, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv1")(x)
+        x = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)
+        x = simple_gate(x)
+        x = SCA(dw // 2, self.tlc_kernel, self.dtype, name="sca")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv3")(x)
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+        y = inp + x * beta.astype(x.dtype)
+
+        x = LayerNorm2d(c, name="norm2")(y)
+        x = nn.Conv(self.ffn_expand * c, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv4")(x)
+        x = simple_gate(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv5")(x)
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+        return y + x * gamma.astype(x.dtype)

@@ -141,6 +141,14 @@ def masa_coarse_search(
     reff = ref_feat.astype(jnp.float32)
     lqf = lq_blocks.astype(jnp.float32)
 
+    # A dilation only fits if the 3x3 dilated center patch stays inside the
+    # haloed block (the reference would raise on such shapes; here small
+    # blocks gracefully use the dilations that fit).
+    dilations = [
+        d for d in dilations
+        if cy - d >= 0 and cy + d < kyh and cx - d >= 0 and cx + d < kxh
+    ] or [1]
+
     corr_sum = jnp.zeros((n, pb, hr * wr), jnp.float32)
     for d in dilations:
         # center 3x3 dilated patch, ordered (c, ki, kj)
