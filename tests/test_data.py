@@ -1,0 +1,145 @@
+"""Data pipeline tests: transforms, pairing, datasets, sampler, loader."""
+
+import os
+
+import numpy as np
+import pytest
+import cv2
+
+from textualdegremoval_tpu.data.transforms import (
+    paired_random_crop, random_augmentation, mod_crop, reflect_pad_to,
+)
+from textualdegremoval_tpu.data import (
+    create_dataset, create_dataloader, EnlargedSampler, DataLoader, collate,
+)
+from textualdegremoval_tpu.data.loader import DevicePrefetcher
+
+
+@pytest.fixture(scope="module")
+def img_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    for sub in ("lq", "hq", "ref"):
+        (root / sub).mkdir()
+    for i in range(6):
+        img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        for sub in ("lq", "hq", "ref"):
+            cv2.imwrite(str(root / sub / f"img_{i:03d}.png"), img)
+    return root
+
+
+class TestTransforms:
+    def test_paired_random_crop_shapes(self):
+        gt = np.zeros((64, 64, 3), np.float32)
+        lq = np.zeros((32, 32, 3), np.float32)
+        g, l = paired_random_crop(gt, lq, 16, scale=2)
+        assert g.shape == (16, 16, 3) and l.shape == (8, 8, 3)
+
+    def test_crop_alignment(self):
+        gt = np.arange(32 * 32, dtype=np.float32).reshape(32, 32, 1)
+        lq = gt.copy()
+        g, l = paired_random_crop(gt, lq, 8, scale=1)
+        np.testing.assert_array_equal(g, l)
+
+    def test_random_augmentation_consistent(self):
+        a = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+        b = a.copy()
+        oa, ob = random_augmentation(a, b)
+        np.testing.assert_array_equal(oa, ob)
+
+    def test_mod_crop(self):
+        x = np.zeros((17, 19, 3))
+        assert mod_crop(x, 8).shape == (16, 16, 3)
+
+    def test_reflect_pad(self):
+        x = np.zeros((10, 20, 3))
+        assert reflect_pad_to(x, 16).shape == (16, 20, 3)
+
+
+class TestDatasets:
+    def test_paired_with_ref_train(self, img_dirs):
+        ds = create_dataset({
+            "type": "Dataset_PairedImageWithRef",
+            "lqroot": str(img_dirs / "lq"), "hqroot": str(img_dirs / "hq"),
+            "refroot": str(img_dirs / "ref"), "phase": "train",
+            "gt_size": 16, "geometric_augs": True, "seed": 0,
+        })
+        s = ds[0]
+        assert s["lq"].shape == (16, 16, 3)
+        assert s["gt"].shape == (16, 16, 3)
+        assert s["ref"].shape == (40, 48, 3)  # full-size, uncropped
+        assert s["lq"].dtype == np.float32
+        assert 0 <= s["lq"].min() and s["lq"].max() <= 1
+
+    def test_gaussian_denoise_eval_deterministic(self, img_dirs):
+        opt = {
+            "type": "Dataset_GaussianDenoisingWithRef",
+            "hqroot": str(img_dirs / "hq"), "refroot": str(img_dirs / "ref"),
+            "phase": "val", "sigma_test": 15, "in_ch": 3,
+        }
+        a = create_dataset(opt)[0]
+        b = create_dataset(opt)[0]
+        np.testing.assert_array_equal(a["lq"], b["lq"])
+        noise_std = (a["lq"] - a["gt"]).std()
+        assert abs(noise_std - 15 / 255.0) < 2e-3
+
+    def test_unified_dataset(self, img_dirs):
+        ds = create_dataset({
+            "type": "Dataset_PairedUnifiedWithRef", "phase": "train",
+            "gt_size": 16, "seed": 3,
+            "denoise": {"hqroot": str(img_dirs / "hq"),
+                        "refroot": str(img_dirs / "ref")},
+            "derain": {"lqroot": str(img_dirs / "lq"),
+                       "hqroot": str(img_dirs / "hq"),
+                       "refroot": str(img_dirs / "ref")},
+        })
+        tasks = {ds[i]["task"] for i in range(12)}
+        assert len(tasks) > 1  # actually samples multiple tasks (bug §2.5.7 fixed)
+
+
+class TestSampler:
+    def test_rank_disjoint(self):
+        s0 = EnlargedSampler(10, num_replicas=2, rank=0, ratio=2)
+        s1 = EnlargedSampler(10, num_replicas=2, rank=1, ratio=2)
+        s0.set_epoch(5)
+        s1.set_epoch(5)
+        i0, i1 = list(s0), list(s1)
+        assert len(i0) == len(i1) == 10
+        # same epoch -> same permutation, disjoint strides
+        s0b = EnlargedSampler(10, 2, 0, 2)
+        s0b.set_epoch(5)
+        assert list(s0b) == i0
+
+    def test_epoch_changes_order(self):
+        s = EnlargedSampler(10, 1, 0, 1)
+        s.set_epoch(0)
+        a = list(s)
+        s.set_epoch(1)
+        assert list(s) != a
+
+
+class TestLoader:
+    def test_loader_batches(self, img_dirs):
+        ds = create_dataset({
+            "type": "Dataset_PairedImageWithRef",
+            "lqroot": str(img_dirs / "lq"), "hqroot": str(img_dirs / "hq"),
+            "refroot": str(img_dirs / "ref"), "phase": "train",
+            "gt_size": 16, "seed": 0,
+        })
+        dl = DataLoader(ds, batch_size=2, num_workers=2)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["lq"].shape == (2, 16, 16, 3)
+
+    def test_device_prefetcher(self, img_dirs):
+        import jax
+        ds = create_dataset({
+            "type": "Dataset_PairedImageWithRef",
+            "lqroot": str(img_dirs / "lq"), "hqroot": str(img_dirs / "hq"),
+            "refroot": str(img_dirs / "ref"), "phase": "train",
+            "gt_size": 16, "seed": 0,
+        })
+        dl = DataLoader(ds, batch_size=2, num_workers=2)
+        pf = DevicePrefetcher(dl)
+        batch = next(iter(pf))
+        assert isinstance(batch["lq"], jax.Array)

@@ -1,0 +1,163 @@
+"""Jitted training step for guided restoration.
+
+Reference semantics (models/image_restoration_ref_model.py +
+models/base_model.py) re-expressed functionally:
+
+* two AdamW groups split on 'masa' in the param path with separate lr
+  (ref_lr) — :141-181;
+* masa params frozen until `param_fix_iterations` — :205-212 (implemented as
+  grad+update masking, exact because the freeze is an initial prefix so Adam
+  moments are zero throughout it);
+* global grad-norm clip 0.01 — :277-279;
+* EMA of params (decay from opt, usually 0.999ish) — base_model.py:54-62;
+* loss all-reduce for logging is free (global-mean loss under jit+sharding).
+
+The step is a pure function (TrainState, batch) -> (TrainState, metrics),
+jit-compiled once per (gt_size, batch) bucket of the progressive schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+import flax.traverse_util as traverse_util
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def _masa_mask(params) -> Any:
+    """Pytree of bools: True where the param belongs to the MASA matcher
+    (path contains 'masa' — same substring rule as the reference)."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: ("masa" in "/".join(k).lower()) for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def build_optimizer(
+    params,
+    lr_schedule: Callable,
+    ref_lr_schedule: Callable | None = None,
+    weight_decay: float = 1e-4,
+    betas: tuple[float, float] = (0.9, 0.999),
+    grad_clip: float | None = 0.01,
+    param_fix_iterations: int = 0,
+) -> optax.GradientTransformation:
+    mask = _masa_mask(params)
+    inv_mask = jax.tree_util.tree_map(lambda b: not b, mask)
+    ref_lr_schedule = ref_lr_schedule or lr_schedule
+
+    def adamw(sched):
+        return optax.adamw(sched, b1=betas[0], b2=betas[1],
+                           weight_decay=weight_decay)
+
+    labels = jax.tree_util.tree_map(
+        lambda is_masa: "masa" if is_masa else "trunk", mask
+    )
+    tx = optax.chain(
+        *([optax.clip_by_global_norm(grad_clip)] if grad_clip else []),
+        optax.multi_transform(
+            {"trunk": adamw(lr_schedule), "masa": adamw(ref_lr_schedule)}, labels
+        ),
+    )
+
+    if param_fix_iterations > 0:
+        # Zero masa grads going in AND masa updates coming out (the latter
+        # kills AdamW weight decay during the freeze).  Because the freeze is
+        # an initial prefix of training, Adam moments stay exactly zero
+        # through it — faithful to requires_grad=False semantics.
+        tx = optax.chain(
+            _mask_while(mask, param_fix_iterations),
+            tx,
+            _mask_while(mask, param_fix_iterations),
+        )
+    return tx
+
+
+def _mask_while(mask, fix_iters: int) -> optax.GradientTransformation:
+    """Zero masked entries of the update tree while step < fix_iters."""
+
+    def init(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        live = (state.count >= fix_iters).astype(jnp.float32)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u * live if m else u, updates, mask
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    has_ref: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted (state, batch) -> (state, metrics) step.
+
+    apply_fn: (params, lq[, ref]) -> pred (or tuple of multi-scale preds).
+    loss_fn: (pred, gt) -> scalar; applied per output and summed for
+    multi-output models (SFNet's 3-scale supervision pattern).
+    """
+
+    def step(state: TrainState, batch):
+        def compute_loss(params):
+            args = (batch["lq"], batch["ref"]) if has_ref else (batch["lq"],)
+            preds = apply_fn({"params": params}, *args)
+            if not isinstance(preds, (list, tuple)):
+                preds = [preds]
+            total = jnp.asarray(0.0, jnp.float32)
+            for p in preds:
+                gt = batch["gt"]
+                if p.shape[1] != gt.shape[1]:  # multi-scale supervision
+                    gt = jax.image.resize(gt, p.shape, method="bilinear")
+                total = total + loss_fn(p, gt)
+            return total
+
+        loss_val, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, params,
+        )
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema_params=ema)
+        metrics = {"l_pix": loss_val,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, has_ref: bool = True, use_ema: bool = True):
+    @functools.partial(jax.jit, static_argnums=())
+    def step(state: TrainState, batch):
+        params = state.ema_params if use_ema else state.params
+        args = (batch["lq"], batch["ref"]) if has_ref else (batch["lq"],)
+        return apply_fn({"params": params}, *args)
+
+    return step
