@@ -43,13 +43,15 @@ def main():
     params = jax.jit(model.init)(key, lq, ref)
 
     fwd = jax.jit(model.apply)
+    # Force a scalar fetch per iteration: through the remote-TPU relay,
+    # block_until_ready on a queued buffer under-reports, so each timed call
+    # round-trips a reduction of the output.
     for _ in range(WARMUP):
-        jax.block_until_ready(fwd(params, lq, ref))
+        float(jnp.sum(fwd(params, lq, ref)))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fwd(params, lq, ref)
-    jax.block_until_ready(out)
+        float(jnp.sum(fwd(params, lq, ref)))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
