@@ -1,0 +1,217 @@
+"""Pipeline A tests on tiny towers: injection semantics, mappers, UNet,
+VAE, DDIM, end-to-end train steps and generation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from textualdegremoval_tpu.models.clip import (
+    CLIPTextEncoder, CLIPVisionEncoder, splice_pseudo_words,
+)
+from textualdegremoval_tpu.models.mappers import I2TMapper, CleanMapper
+from textualdegremoval_tpu.models.unet import UNet2DCondition
+from textualdegremoval_tpu.models.vae import AutoencoderKL
+from textualdegremoval_tpu.diffusion.ddim import DDIMScheduler, cfg_sample
+from textualdegremoval_tpu.diffusion.pipeline import (
+    GuidanceModules, diffusion_loss, make_guidance_optimizer,
+    make_guidance_train_step, generate_reference, trainable_mask,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestSplice:
+    def test_matches_reference_semantics(self):
+        """Oracle: the loop-form splice from the documented algorithm."""
+        rng = np.random.default_rng(0)
+        b, s, d, L = 2, 10, 4, 3
+        tok = rng.standard_normal((b, s, d)).astype(np.float32)
+        inj = rng.standard_normal((b, L, d)).astype(np.float32)
+        idx = np.asarray([2, 5], np.int32)
+
+        want = tok.copy()
+        for bi in range(b):
+            i = idx[bi]
+            lll = s - (i + L)
+            want[bi, i + L:] = tok[bi, i + 1 : i + 1 + lll]
+            want[bi, i : i + L] = inj[bi]
+
+        got = splice_pseudo_words(jnp.asarray(tok), jnp.asarray(inj),
+                                  jnp.asarray(idx))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+class TestTowers:
+    def test_text_encoder_shapes(self):
+        m = CLIPTextEncoder(vocab_size=100, max_positions=16, width=64,
+                            layers=2, heads=4)
+        ids = jnp.ones((2, 16), jnp.int32)
+        params = m.init(KEY, ids)
+        h, pooled = m.apply(params, ids)
+        assert h.shape == (2, 16, 64) and pooled.shape == (2, 64)
+
+    def test_text_injection_changes_states(self):
+        m = CLIPTextEncoder(vocab_size=100, max_positions=16, width=64,
+                            layers=2, heads=4)
+        ids = jnp.ones((1, 16), jnp.int32)
+        params = m.init(KEY, ids)
+        h0, _ = m.apply(params, ids)
+        inj = jax.random.normal(KEY, (1, 3, 64))
+        h1, _ = m.apply(params, ids, inj_embedding=inj,
+                        inj_index=jnp.asarray([2]))
+        assert not np.allclose(np.asarray(h0), np.asarray(h1))
+
+    def test_vision_encoder(self):
+        m = CLIPVisionEncoder(image_size=28, patch_size=14, width=32,
+                              layers=2, heads=2)
+        x = jax.random.normal(KEY, (2, 28, 28, 3))
+        params = m.init(KEY, x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 5, 32)  # cls + 4 patches
+
+    def test_mappers(self):
+        m = I2TMapper(num_words=4, input_dim=32, output_dim=64)
+        embs = jax.random.normal(KEY, (2, 5, 32))
+        params = m.init(KEY, embs)
+        words = m.apply(params, embs)
+        assert words.shape == (2, 4, 64)
+        cm = CleanMapper(num_words=4, dim=64)
+        cparams = cm.init(KEY, words)
+        clean = cm.apply(cparams, words)
+        assert clean.shape == (2, 4, 64)
+
+    def test_unet_shapes_and_global_kv(self):
+        m = UNet2DCondition(block_out_channels=(32, 64), layers_per_block=1,
+                            context_dim=64, head_dim=16)
+        x = jax.random.normal(KEY, (1, 16, 16, 4))
+        t = jnp.asarray([10])
+        ctx = jax.random.normal(KEY, (1, 8, 64))
+        params = m.init(KEY, x, t, ctx)
+        y0 = m.apply(params, x, t, ctx, use_global_kv=False)
+        y1 = m.apply(params, x, t, ctx, use_global_kv=True)
+        assert y0.shape == x.shape
+        # global projections are zero-init? No — random init; paths differ
+        assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+    def test_vae_roundtrip_shapes(self):
+        m = AutoencoderKL(block_out_channels=(16, 32), layers_per_block=1)
+        x = jax.random.normal(KEY, (1, 16, 16, 3))
+        params = m.init(KEY, x, KEY)
+        z = m.apply(params, x, KEY, method=AutoencoderKL.encode_sample)
+        assert z.shape == (1, 8, 8, 4)
+        y = m.apply(params, z, method=AutoencoderKL.decode)
+        assert y.shape == x.shape
+
+
+class TestDDIM:
+    def test_matches_diffusers_tables(self):
+        """alphas_cumprod and timestep spacing vs a hand-built oracle of the
+        diffusers algorithm."""
+        s = DDIMScheduler()
+        betas = torch.linspace(0.00085 ** 0.5, 0.012 ** 0.5, 1000,
+                               dtype=torch.float64) ** 2
+        acp = torch.cumprod(1 - betas, 0).float().numpy()
+        np.testing.assert_allclose(s.alphas_cumprod, acp, rtol=1e-5)
+        ts = s.timesteps(100)
+        assert ts[0] == 991 and ts[-1] == 1 and len(ts) == 100
+
+    def test_add_noise_and_step_roundtrip(self):
+        """With the true eps, a DDIM step from t to t_prev then comparing
+        against directly noising x0 at t_prev must agree."""
+        s = DDIMScheduler()
+        x0 = jax.random.normal(KEY, (1, 4, 4, 2))
+        eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+        t, t_prev = 501, 401
+        xt = s.add_noise(x0, eps, jnp.asarray([t]))
+        x_prev = s.step(eps, t, t_prev, xt)
+        want = s.add_noise(x0, eps, jnp.asarray([t_prev]))
+        np.testing.assert_allclose(np.asarray(x_prev), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_cfg_sample_runs(self):
+        s = DDIMScheduler()
+        lat = jax.random.normal(KEY, (1, 4, 4, 2))
+        ctx_c = jax.random.normal(KEY, (1, 3, 8))
+        ctx_u = jnp.zeros((1, 3, 8))
+
+        def eps_fn(lat2, t, ctx):
+            return lat2 * 0.1  # dummy model
+
+        out = jax.jit(lambda l: cfg_sample(eps_fn, s, l, ctx_c, ctx_u,
+                                           num_inference_steps=5))(lat)
+        assert out.shape == lat.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_setup():
+    mods = GuidanceModules.small_test_config(num_words=4)
+    b = 1
+    batch = {
+        "pixel_values": jax.random.normal(KEY, (b, 16, 16, 3)),
+        "pixel_values_clip": jax.random.normal(KEY, (b, 28, 28, 3)),
+        "input_ids": jnp.ones((b, 16), jnp.int32),
+        "inj_index": jnp.asarray([2] * b, jnp.int32),
+    }
+    k = jax.random.PRNGKey(7)
+    params = {
+        "text_encoder": mods.text_encoder.init(k, batch["input_ids"])["params"],
+        "image_encoder": mods.image_encoder.init(
+            k, batch["pixel_values_clip"])["params"],
+        "vae": mods.vae.init(k, batch["pixel_values"], k)["params"],
+        "mapper": mods.mapper.init(
+            k, jnp.zeros((b, 5, 32)))["params"],
+        "clean_mapper": mods.clean_mapper.init(
+            k, jnp.zeros((b, 4, 64)))["params"],
+        "unet": mods.unet.init(
+            k, jnp.zeros((b, 8, 8, 4)), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b, 16, 64)))["params"],
+    }
+    return mods, params, batch
+
+
+class TestEndToEnd:
+    def test_i2t_train_step(self):
+        mods, params, batch = _tiny_setup()
+        tx = make_guidance_optimizer(params, "i2t", lr=1e-4)
+        step = make_guidance_train_step(mods, tx, "i2t")
+        opt_state = tx.init(params)
+        import flax.traverse_util as tu
+        before = tu.flatten_dict(jax.tree_util.tree_map(np.asarray, params))
+        params2, opt_state, loss = step(params, opt_state, batch,
+                                        jax.random.PRNGKey(3))
+        assert np.isfinite(float(loss))
+        after = tu.flatten_dict(params2)
+        # mapper moved, unet global kv moved, vae frozen
+        moved = [k for k in after
+                 if not np.allclose(before[k], np.asarray(after[k]))]
+        moved_paths = {"/".join(k) for k in moved}
+        assert any(p.startswith("mapper/") for p in moved_paths)
+        assert any("global" in p for p in moved_paths)
+        assert not any(p.startswith("vae/") for p in moved_paths)
+        assert not any(p.startswith("text_encoder/") for p in moved_paths)
+
+    def test_tr_train_step_trains_clean_mapper(self):
+        mods, params, batch = _tiny_setup()
+        tx = make_guidance_optimizer(params, "tr", lr=1e-4)
+        step = make_guidance_train_step(mods, tx, "tr")
+        opt_state = tx.init(params)
+        import flax.traverse_util as tu
+        before = tu.flatten_dict(jax.tree_util.tree_map(np.asarray, params))
+        params2, _, loss = step(params, opt_state, batch, jax.random.PRNGKey(3))
+        after = tu.flatten_dict(params2)
+        moved_paths = {"/".join(k) for k in after
+                       if not np.allclose(before[k], np.asarray(after[k]))}
+        # the intended module trains (reference bug §2.5.3 fixed)
+        assert any(p.startswith("clean_mapper/") for p in moved_paths)
+        assert all(p.startswith("clean_mapper/") for p in moved_paths)
+
+    def test_generate_reference(self):
+        mods, params, batch = _tiny_setup()
+        img = generate_reference(
+            mods, params, batch["pixel_values_clip"], batch["input_ids"],
+            jnp.ones((1, 16), jnp.int32), batch["inj_index"],
+            jax.random.PRNGKey(11), latent_hw=(8, 8),
+            num_inference_steps=3)
+        assert img.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(img)).all()

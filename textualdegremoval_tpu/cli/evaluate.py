@@ -1,0 +1,160 @@
+"""Evaluation CLI: per-task constructor table + PSNR/SSIM loop.
+
+Command surface mirrors the reference eval scripts
+(scripts/eval/main_evaluation_color_denoise15.py and
+main_evaluation_deblur_derain_dehaze.py):
+
+    python -m textualdegremoval_tpu.cli.evaluate \
+        --task restormer_color_denoise --sigma 15 \
+        --hqroot ... --refroot ... [--lqroot ...] \
+        --checkpoint_path net_g.pth
+
+Denoise tasks synthesize noise with the deterministic protocol
+(np.random.seed(0), sigma/255 on HQ — reference :92-96); paired tasks read
+lq from --lqroot.  PSNR/SSIM with crop_border=0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from textualdegremoval_tpu.models import define_network
+from textualdegremoval_tpu.metrics import calculate_psnr, calculate_ssim
+from textualdegremoval_tpu.convert import load_torch_checkpoint
+from textualdegremoval_tpu.data.pairing import scan_images
+from textualdegremoval_tpu.data.datasets import imread_f32
+
+# per-task network constructor table (reference
+# main_evaluation_deblur_derain_dehaze.py:26-264 hparams)
+TASK_TABLE = {
+    "restormer_color_denoise": {
+        "type": "RestormerRefFusion", "dim": 48, "num_blocks": [4, 6, 6, 8],
+        "num_refinement_blocks": 4, "heads": [1, 2, 4, 8],
+        "ffn_expansion_factor": 2.66, "bias": False,
+        "LayerNorm_type": "BiasFree", "nf": 48,
+        "ext_n_blocks": [4, 4, 4, 4], "reffusion_n_blocks": [2, 2, 2, 2],
+        "lr_block_size": 8,
+    },
+    "restormer_gray_denoise": {
+        "type": "RestormerRefFusion", "inp_channels": 1, "out_channels": 1,
+        "dim": 48, "num_blocks": [4, 6, 6, 8], "num_refinement_blocks": 4,
+        "heads": [1, 2, 4, 8], "ffn_expansion_factor": 2.66, "bias": False,
+        "LayerNorm_type": "BiasFree", "nf": 48,
+        "ext_n_blocks": [4, 4, 4, 4], "reffusion_n_blocks": [2, 2, 2, 2],
+        "lr_block_size": 8,
+    },
+    "restormer_deblur": {
+        "type": "RestormerRefFusion", "dim": 48, "num_blocks": [4, 6, 6, 8],
+        "num_refinement_blocks": 4, "heads": [1, 2, 4, 8],
+        "ffn_expansion_factor": 2.66, "bias": False,
+        "LayerNorm_type": "WithBias", "nf": 48,
+        "ext_n_blocks": [4, 4, 4, 4], "reffusion_n_blocks": [2, 2, 2, 2],
+        "lr_block_size": 8,
+    },
+    "nafnet_deblur": {
+        "type": "NAFNetRefFusion", "width": 64, "middle_blk_num": 1,
+        "enc_blk_nums": [1, 1, 1, 28], "dec_blk_nums": [1, 1, 1, 1],
+        "nf": 64, "ext_n_blocks": [4, 4, 4, 4],
+        "reffusion_n_blocks": [2, 2, 2, 2], "lr_block_size": 8,
+    },
+    "drsformer_derain": {
+        "type": "DRSformerRefFusion", "dim": 48, "num_blocks": [4, 6, 6, 8],
+        "heads": [1, 2, 4, 8], "nf": 48, "ext_n_blocks": [4, 4, 4, 4],
+        "reffusion_n_blocks": [2, 2, 2, 2], "lr_block_size": 8,
+        "use_mefc": True,
+    },
+    "drsformer_derain_200l_spa": {
+        "type": "DRSformer200L_SPA_RefFusion", "dim": 48,
+        "num_blocks": [4, 6, 6, 8], "heads": [1, 2, 4, 8], "nf": 48,
+        "ext_n_blocks": [4, 4, 4, 4], "reffusion_n_blocks": [2, 2, 2, 2],
+        "lr_block_size": 8, "use_mefc": False,
+    },
+    "sfnet_dehaze_indoor": {
+        "type": "SFNetRefFusion", "num_res": 16, "nf": 32,
+        "ext_n_blocks": [4, 4, 4], "reffusion_n_blocks": [1, 1, 1],
+        "lr_block_size": 8, "tlc_base": 246,
+    },
+    "sfnet_dehaze_outdoor": {
+        "type": "SFNetRefFusion", "num_res": 16, "nf": 32,
+        "ext_n_blocks": [4, 4, 4], "reffusion_n_blocks": [1, 1, 1],
+        "lr_block_size": 8, "tlc_base": 210,
+    },
+    "promptir_all_in_one": {
+        "type": "PromptIRRefFusion", "dim": 48, "num_blocks": [4, 6, 6, 8],
+        "num_refinement_blocks": 4, "heads": [1, 2, 4, 8], "decoder": True,
+        "nf": 48, "ext_n_blocks": [4, 4, 4, 4],
+        "reffusion_n_blocks": [2, 2, 2, 2], "lr_block_size": 8,
+    },
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", required=True, choices=sorted(TASK_TABLE))
+    ap.add_argument("--hqroot", required=True)
+    ap.add_argument("--refroot", required=True)
+    ap.add_argument("--lqroot", default=None)
+    ap.add_argument("--checkpoint_path", default=None)
+    ap.add_argument("--sigma", type=float, default=15)
+    ap.add_argument("--max_images", type=int, default=None)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    opt = dict(TASK_TABLE[args.task])
+    from textualdegremoval_tpu.models import define_network
+    model = define_network(opt, dtype=getattr(jnp, args.dtype))
+
+    hq_paths = scan_images(args.hqroot)
+    ref_paths = scan_images(args.refroot)
+    lq_paths = scan_images(args.lqroot) if args.lqroot else [None] * len(hq_paths)
+    if args.max_images:
+        hq_paths = hq_paths[: args.max_images]
+
+    params = None
+    fwd = jax.jit(lambda p, lq, ref: _last(model.apply({"params": p}, lq, ref)))
+
+    psnrs, ssims = [], []
+    gray = opt.get("inp_channels", 3) == 1
+    for i, hq_path in enumerate(hq_paths):
+        hq = imread_f32(hq_path)
+        ref = imread_f32(ref_paths[min(i, len(ref_paths) - 1)])
+        if gray:
+            import cv2
+            hq = cv2.cvtColor(hq, cv2.COLOR_RGB2GRAY)[..., None]
+            ref = cv2.cvtColor(ref, cv2.COLOR_RGB2GRAY)[..., None]
+        if lq_paths[i] is None:
+            rng = np.random.RandomState(0)  # deterministic eval protocol
+            lq = hq + rng.randn(*hq.shape).astype(np.float32) * args.sigma / 255.0
+        else:
+            lq = imread_f32(lq_paths[i])
+
+        lq_j = jnp.asarray(lq)[None]
+        ref_j = jnp.asarray(ref)[None]
+        if params is None:
+            if args.checkpoint_path and os.path.exists(args.checkpoint_path):
+                params = load_torch_checkpoint(args.checkpoint_path)
+            else:
+                params = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), lq_j, ref_j)["params"]
+        pred = np.clip(np.asarray(fwd(params, lq_j, ref_j))[0], 0, 1)
+        psnrs.append(calculate_psnr(pred * 255, hq * 255, crop_border=0))
+        ssims.append(calculate_ssim(pred * 255, hq * 255, crop_border=0))
+        print(f"[{i + 1}/{len(hq_paths)}] psnr {psnrs[-1]:.4f} "
+              f"ssim {ssims[-1]:.4f}")
+
+    print(f"mean PSNR: {np.mean(psnrs):.4f}  mean SSIM: {np.mean(ssims):.4f}")
+    return float(np.mean(psnrs)), float(np.mean(ssims))
+
+
+def _last(out):
+    return out[-1] if isinstance(out, (list, tuple)) else out
+
+
+if __name__ == "__main__":
+    main()

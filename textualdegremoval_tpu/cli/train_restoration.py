@@ -1,0 +1,263 @@
+"""Guided-restoration training CLI.
+
+Command surface mirrors the reference
+(scripts/train/main_train_restoration_with_ref_input.py, README.md:116):
+
+    python -m textualdegremoval_tpu.cli.train_restoration --opt <yaml>
+
+but launches one process per host (jax.distributed), not one per chip —
+devices on a host are driven by the dp mesh.
+
+Loop structure (reference :225-303): progressive (gt_size, batch) schedule
+as *bucketed jit shapes* — the step function specializes per bucket, the
+finite bucket set comes from the YAML `iters`/`gt_sizes`/`mini_batch_sizes`.
+Ref-crop selection (DINO matcher) runs as a separate jitted no-grad fn
+before each step, exactly like the reference's torch.no_grad block
+(image_restoration_ref_model.py:219-247).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from textualdegremoval_tpu.utils.options import parse
+from textualdegremoval_tpu.utils.logger import (
+    get_root_logger, MessageLogger, ScalarWriter,
+)
+from textualdegremoval_tpu.models import define_network
+from textualdegremoval_tpu.models.dino import vit_base, select_ref_crop
+from textualdegremoval_tpu.data import (
+    create_dataset, create_dataloader, DevicePrefetcher,
+)
+from textualdegremoval_tpu.losses import build_loss
+from textualdegremoval_tpu.train.schedules import build_schedule, warmup_wrap
+from textualdegremoval_tpu.train.trainer import (
+    build_optimizer, create_train_state, make_train_step, make_eval_step,
+)
+from textualdegremoval_tpu.train.checkpoint import CheckpointManager
+from textualdegremoval_tpu.parallel import make_mesh, shard_batch, replicate
+from textualdegremoval_tpu.metrics import calculate_psnr, calculate_ssim
+from textualdegremoval_tpu.convert import load_torch_checkpoint
+
+
+def progressive_buckets(ds_opt):
+    """(iters, gt_size, batch) groups from the YAML progressive schedule
+    (reference :240-271)."""
+    iters = ds_opt.get("iters", [10 ** 9])
+    gt_sizes = ds_opt.get("gt_sizes", [ds_opt.get("gt_size", 128)])
+    batches = ds_opt.get("mini_batch_sizes",
+                         [ds_opt.get("batch_size_per_gpu", 1)])
+    groups = np.cumsum(iters)
+    return groups, gt_sizes, batches
+
+
+def pick_bucket(current_iter, groups, gt_sizes, batches):
+    j = int(np.searchsorted(groups, current_iter, side="left"))
+    j = min(j, len(gt_sizes) - 1)
+    return gt_sizes[j], batches[min(j, len(batches) - 1)]
+
+
+def crop_batch(batch, gt_size, mini_batch, rng):
+    """Random sub-batch + random sub-crop to the bucket shape."""
+    full = batch["lq"].shape[0]
+    idx = rng.choice(full, size=min(mini_batch, full), replace=False)
+    h, w = batch["lq"].shape[1:3]
+    top = rng.integers(0, max(h - gt_size, 0) + 1)
+    left = rng.integers(0, max(w - gt_size, 0) + 1)
+    out = dict(batch)
+    for k in ("lq", "gt"):
+        out[k] = batch[k][idx, top : top + gt_size, left : left + gt_size]
+    out["ref"] = batch["ref"][idx]
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--opt", required=True)
+    ap.add_argument("--max_iters", type=int, default=None,
+                    help="override total_iter (smoke runs)")
+    args = ap.parse_args(argv)
+
+    opt = parse(args.opt, is_train=True)
+    logger = get_root_logger(
+        log_file=os.path.join(opt["path"]["log"], "train.log"))
+    mesh = make_mesh()
+    logger.info(f"mesh: {mesh.devices.shape} devices")
+
+    # data
+    ds_opt = opt["datasets"]["train"]
+    train_set = create_dataset(ds_opt)
+    train_loader = create_dataloader(
+        train_set, ds_opt, num_replicas=jax.process_count(),
+        rank=jax.process_index())
+    val_loader = None
+    if "val" in opt.get("datasets", {}):
+        val_opt = opt["datasets"]["val"]
+        try:
+            val_set = create_dataset(val_opt)
+            val_loader = create_dataloader(val_set, val_opt)
+        except Exception as e:  # val data optional in smoke runs
+            logger.warning(f"no val data: {e}")
+
+    # model
+    model = define_network(opt["network_g"], dtype=jnp.float32)
+    key = jax.random.PRNGKey(opt.get("manual_seed", 0))
+    gt_size = ds_opt.get("gt_size", 128)
+    dummy = jnp.zeros((1, gt_size, gt_size,
+                       opt["network_g"].get("inp_channels",
+                                            opt["network_g"].get(
+                                                "img_channel", 3))))
+    params = jax.jit(model.init)(key, dummy, dummy)["params"]
+
+    load_path = opt["path"].get("pretrain_network_g")
+    if load_path and os.path.exists(str(load_path)):
+        params = load_torch_checkpoint(load_path)
+        logger.info(f"loaded pretrained params from {load_path}")
+
+    # DINO matcher (optional — identity center-crop fallback without weights)
+    dino_path = opt["path"].get("pretrain_dino")
+    matcher = None
+    if dino_path and os.path.exists(str(dino_path)):
+        dino = vit_base()
+        dino_params = load_torch_checkpoint(dino_path, key=None)
+        matcher = jax.jit(
+            lambda lq, ref: select_ref_crop(
+                dino.apply, {"params": dino_params}, lq, ref))
+        logger.info("DINO matcher loaded")
+
+    # optimizer / schedules
+    topt = opt["train"]
+    lr = topt["optim_g"]["lr"]
+    ref_lr = topt["optim_g"].get("ref_lr", lr)
+    sched = warmup_wrap(build_schedule(lr, topt["scheduler"]),
+                        topt.get("warmup_iter", -1), lr)
+    ref_sched = warmup_wrap(build_schedule(ref_lr, topt["scheduler"]),
+                            topt.get("warmup_iter", -1), ref_lr)
+    tx = build_optimizer(
+        params, sched, ref_sched,
+        weight_decay=topt["optim_g"].get("weight_decay", 1e-4),
+        betas=tuple(topt["optim_g"].get("betas", (0.9, 0.999))),
+        grad_clip=0.01 if topt.get("use_grad_clip", True) else None,
+        param_fix_iterations=topt.get("param_fix_iterations", 0),
+    )
+    state = create_train_state(params, tx)
+    loss_fn = build_loss(topt["pixel_opt"])
+    step_fn = make_train_step(model.apply, loss_fn, tx)
+
+    # checkpointing / auto-resume (reference :137-186)
+    ckpt = CheckpointManager(opt["path"]["training_states"])
+    resumed = ckpt.restore_state(state)
+    start_iter = 0
+    if resumed is not None:
+        state = resumed
+        start_iter = int(state.step)
+        logger.info(f"auto-resumed from iter {start_iter}")
+
+    state = replicate(mesh, state)
+
+    total_iters = args.max_iters or int(topt["total_iter"])
+    groups, gt_sizes, batches = progressive_buckets(ds_opt)
+    writer = ScalarWriter(opt["path"]["log"])
+    msg = MessageLogger(total_iters, start_iter, writer, logger)
+    rng = np.random.default_rng(opt.get("manual_seed", 0))
+
+    log_freq = int(opt.get("logger", {}).get("print_freq", 100))
+    save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 5000))
+    val_freq = int(opt.get("val", {}).get("val_freq", 5000))
+
+    current_iter = start_iter
+    epoch = 0
+    t_data = t_iter = time.time()
+    with mesh:
+        while current_iter < total_iters:
+            if train_loader.sampler is not None:
+                train_loader.sampler.set_epoch(epoch)
+            for batch in DevicePrefetcher(train_loader):
+                if current_iter >= total_iters:
+                    break
+                current_iter += 1
+                gt_size_b, mini_b = pick_bucket(current_iter, groups,
+                                                gt_sizes, batches)
+                host_batch = {k: np.asarray(v) for k, v in batch.items()
+                              if isinstance(v, jax.Array)}
+                host_batch = crop_batch(host_batch, gt_size_b, mini_b, rng)
+                if matcher is not None:
+                    ref_in = matcher(jnp.asarray(host_batch["lq"]),
+                                     jnp.asarray(host_batch["ref"]))
+                else:
+                    # center-crop fallback
+                    rh, rw = host_batch["ref"].shape[1:3]
+                    top = max((rh - gt_size_b) // 2, 0)
+                    left = max((rw - gt_size_b) // 2, 0)
+                    ref_in = host_batch["ref"][:, top : top + gt_size_b,
+                                               left : left + gt_size_b]
+                step_batch = shard_batch(mesh, {
+                    "lq": np.asarray(host_batch["lq"]),
+                    "gt": np.asarray(host_batch["gt"]),
+                    "ref": np.asarray(ref_in),
+                })
+                data_time = time.time() - t_data
+                state, metrics = step_fn(state, step_batch)
+                if current_iter % log_freq == 0:
+                    iter_time = time.time() - t_iter
+                    msg(epoch, current_iter,
+                        [float(sched(current_iter)),
+                         float(ref_sched(current_iter))],
+                        {k: float(v) for k, v in metrics.items()},
+                        iter_time, data_time)
+                if current_iter % save_freq == 0 and jax.process_index() == 0:
+                    ckpt.save_state(jax.device_get(state), current_iter)
+                    ckpt.save_network(jax.device_get(state.params),
+                                      jax.device_get(state.ema_params),
+                                      current_iter)
+                if val_loader is not None and current_iter % val_freq == 0:
+                    validate(model, state, val_loader, opt, logger, writer,
+                             current_iter)
+                t_data = t_iter = time.time()
+            epoch += 1
+
+    if jax.process_index() == 0:
+        ckpt.save_state(jax.device_get(state), current_iter)
+        ckpt.save_network(jax.device_get(state.params),
+                          jax.device_get(state.ema_params), current_iter)
+    logger.info("training done")
+    return state
+
+
+def validate(model, state, val_loader, opt, logger, writer, current_iter):
+    """Rank-0 whole-image validation with window padding (reference
+    pad_test, image_restoration_ref_model.py:286-298)."""
+    if jax.process_index() != 0:
+        return
+    eval_step = make_eval_step(model.apply, use_ema=False)
+    psnrs, ssims = [], []
+    max_n = int(opt.get("val", {}).get("max_minibatch", 8))
+    for i, batch in enumerate(val_loader):
+        if i >= max_n:
+            break
+        out = eval_step(state, {
+            "lq": jnp.asarray(batch["lq"]),
+            "ref": jnp.asarray(batch["ref"]),
+        })
+        if isinstance(out, (list, tuple)):
+            out = out[-1]
+        pred = np.clip(np.asarray(out)[0], 0, 1)
+        gt = np.asarray(batch["gt"])[0]
+        psnrs.append(calculate_psnr(pred * 255, gt * 255, crop_border=0))
+        ssims.append(calculate_ssim(pred * 255, gt * 255, crop_border=0))
+    if psnrs:
+        logger.info(
+            f"val @ {current_iter}: psnr {np.mean(psnrs):.4f} "
+            f"ssim {np.mean(ssims):.4f}")
+        writer.write(current_iter, {"val/psnr": np.mean(psnrs),
+                                    "val/ssim": np.mean(ssims)})
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 from textualdegremoval_tpu.models.restormer import Restormer, RestormerRefFusion
 from textualdegremoval_tpu.models.nafnet import NAFNet, NAFNetRefFusion
+from textualdegremoval_tpu.models.drsformer import DRSformer, DRSformerRefFusion
+from textualdegremoval_tpu.models.promptir import PromptIR, PromptIRRefFusion
+from textualdegremoval_tpu.models.sfnet import SFNet, SFNetRefFusion
+from textualdegremoval_tpu.models.nafnet_dynamic import NAFNetDynamicFusion
 
 _REGISTRY: dict[str, type] = {}
 
@@ -23,13 +27,18 @@ def register_network(cls, name: str | None = None):
     return cls
 
 
-for _cls in (Restormer, RestormerRefFusion, NAFNet, NAFNetRefFusion):
+for _cls in (Restormer, RestormerRefFusion, NAFNet, NAFNetRefFusion,
+             DRSformer, DRSformerRefFusion, PromptIR, PromptIRRefFusion,
+             SFNet, SFNetRefFusion, NAFNetDynamicFusion):
     register_network(_cls)
 
 # Reference "Local" (TLC) variants map to the same modules with
 # tlc_train_size set by the caller.
 _REGISTRY["NAFNetLocal"] = NAFNet
 _REGISTRY["NAFNetLocal_RefFusion"] = NAFNetRefFusion
+_REGISTRY["NAFNetLocalDynamic"] = NAFNetDynamicFusion
+# Reference 200L/SPA file = DRSformer without MEFC
+_REGISTRY["DRSformer200L_SPA_RefFusion"] = DRSformerRefFusion
 
 # Keys consumed by the wrapper layer, not the network constructor.
 _NON_CTOR_KEYS = {"type", "scale"}

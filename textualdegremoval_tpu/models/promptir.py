@@ -1,0 +1,253 @@
+"""PromptIR (+RefFusion) in Flax (NHWC).
+
+Parity target: reference models/archs/network_promptir_guided_arch.py
+(PromptGenBlock :417-437, PromptIR :443-591, PromptIRRefFusion :593-1093).
+
+The trunk is Restormer-style (MDTA+GDFN blocks, reused from models.layers)
+plus decoder-side prompt-interaction blocks.  The prompt dims are the
+reference's hardcoded values (64/128/320 at sizes 64/32/16), which are only
+shape-consistent with decoder=True and dim=48 — we keep them verbatim so
+checkpoints convert.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from textualdegremoval_tpu.models.layers import (
+    TransformerBlock,
+    TransformerResFusionBlock,
+    OverlapPatchEmbed,
+    Downsample,
+    Upsample,
+    MASAEncoder,
+)
+from textualdegremoval_tpu.ops import pad_to_multiple, masa_match_and_warp
+
+
+class PromptGenBlock(nn.Module):
+    """Learned prompt bank softmax-combined by GAP features, bilinearly
+    resized, 3x3-conv mixed (reference :417-437)."""
+
+    prompt_dim: int = 128
+    prompt_len: int = 5
+    prompt_size: int = 96
+    lin_dim: int = 192
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        prompt_param = self.param(
+            "prompt_param", nn.initializers.uniform(scale=1.0),
+            (1, self.prompt_len, self.prompt_size, self.prompt_size,
+             self.prompt_dim),
+        )
+        emb = jnp.mean(x, axis=(1, 2))
+        weights = jax.nn.softmax(
+            nn.Dense(self.prompt_len, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="linear_layer")(emb),
+            axis=1,
+        )
+        prompt = jnp.sum(
+            weights[:, :, None, None, None].astype(self.dtype) *
+            prompt_param.astype(self.dtype), axis=1
+        )  # (B, S, S, prompt_dim)
+        prompt = jax.image.resize(
+            prompt, (b, h, w, self.prompt_dim), method="bilinear")
+        return nn.Conv(self.prompt_dim, (3, 3), padding=1, use_bias=False,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="conv3x3")(prompt)
+
+
+class _PromptIRTrunk(nn.Module):
+    """Shared trunk body used by PromptIR and PromptIRRefFusion.
+
+    `warp` (optional pyramid) enables the RefFusion encoder-side injection.
+    """
+
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    bias: bool = False
+    ln_type: str = "WithBias"
+    decoder: bool = True
+    reffusion_n_blocks: Sequence[int] = (2, 2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp, warp=None):
+        d = self.dim
+        kw = dict(ffn_expansion_factor=self.ffn_expansion_factor,
+                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype)
+
+        def blocks(dim, heads, n, name):
+            def run(x):
+                for i in range(n):
+                    x = TransformerBlock(dim, heads, **kw, name=f"{name}_{i}")(x)
+                return x
+            return run
+
+        def fuse(x, warp_l, heads, n, name):
+            cat = jnp.concatenate([x, warp_l.astype(x.dtype)], axis=-1)
+            dim2 = cat.shape[-1]
+            for i in range(n):
+                cat = TransformerResFusionBlock(dim2, heads, **kw,
+                                                name=f"{name}_{i}")(cat)
+            return cat[..., : dim2 // 2]
+
+        conv_kw = dict(use_bias=self.bias, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+
+        x = OverlapPatchEmbed(d, self.bias, self.dtype, name="patch_embed")(inp)
+        if warp is not None:
+            x = fuse(x, warp[0], self.heads[0], self.reffusion_n_blocks[0],
+                     "masa_blk_enc_level1")
+        e1 = blocks(d, self.heads[0], self.num_blocks[0], "encoder_level1")(x)
+
+        x = Downsample(d, self.dtype, name="down1_2")(e1)
+        if warp is not None:
+            x = fuse(x, warp[1], self.heads[1], self.reffusion_n_blocks[1],
+                     "masa_blk_enc_level2")
+        e2 = blocks(d * 2, self.heads[1], self.num_blocks[1],
+                    "encoder_level2")(x)
+
+        x = Downsample(d * 2, self.dtype, name="down2_3")(e2)
+        if warp is not None:
+            x = fuse(x, warp[2], self.heads[2], self.reffusion_n_blocks[2],
+                     "masa_blk_enc_level3")
+        e3 = blocks(d * 4, self.heads[2], self.num_blocks[2],
+                    "encoder_level3")(x)
+
+        x = Downsample(d * 4, self.dtype, name="down3_4")(e3)
+        if warp is not None:
+            x = fuse(x, warp[3], self.heads[3], self.reffusion_n_blocks[3],
+                     "masa_blk_enc_level4")
+        latent = blocks(d * 8, self.heads[3], self.num_blocks[3],
+                        "latent")(x)
+
+        if self.decoder:
+            dec3 = PromptGenBlock(320, 5, 16, d * 8, self.dtype,
+                                  name="prompt3")(latent)
+            latent = jnp.concatenate([latent, dec3], axis=-1)
+            latent = TransformerBlock(d * 8 + 320, self.heads[2], **kw,
+                                      name="noise_level3")(latent)
+            latent = nn.Conv(d * 4, (1, 1), name="reduce_noise_level3",
+                             **conv_kw)(latent)
+
+        y = Upsample(d * 4, self.dtype, name="up4_3")(latent)
+        y = jnp.concatenate([y, e3], axis=-1)
+        y = nn.Conv(d * 4, (1, 1), name="reduce_chan_level3", **conv_kw)(y)
+        y = blocks(d * 4, self.heads[2], self.num_blocks[2],
+                   "decoder_level3")(y)
+
+        if self.decoder:
+            dec2 = PromptGenBlock(128, 5, 32, d * 4, self.dtype,
+                                  name="prompt2")(y)
+            y = jnp.concatenate([y, dec2], axis=-1)
+            y = TransformerBlock(d * 4 + 128, self.heads[2], **kw,
+                                 name="noise_level2")(y)
+            y = nn.Conv(d * 4, (1, 1), name="reduce_noise_level2",
+                        **conv_kw)(y)
+
+        y = Upsample(d * 4, self.dtype, name="up3_2")(y)
+        y = jnp.concatenate([y, e2], axis=-1)
+        y = nn.Conv(d * 2, (1, 1), name="reduce_chan_level2", **conv_kw)(y)
+        y = blocks(d * 2, self.heads[1], self.num_blocks[1],
+                   "decoder_level2")(y)
+
+        if self.decoder:
+            dec1 = PromptGenBlock(64, 5, 64, d * 2, self.dtype,
+                                  name="prompt1")(y)
+            y = jnp.concatenate([y, dec1], axis=-1)
+            y = TransformerBlock(d * 2 + 64, self.heads[2], **kw,
+                                 name="noise_level1")(y)
+            y = nn.Conv(d * 2, (1, 1), name="reduce_noise_level1",
+                        **conv_kw)(y)
+
+        y = Upsample(d * 2, self.dtype, name="up2_1")(y)
+        y = jnp.concatenate([y, e1], axis=-1)
+        y = blocks(d * 2, self.heads[0], self.num_blocks[0],
+                   "decoder_level1")(y)
+        y = blocks(d * 2, self.heads[0], self.num_refinement_blocks,
+                   "refinement")(y)
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, name="output",
+                      **conv_kw)(y)
+        return out + inp.astype(out.dtype)
+
+
+class PromptIR(nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    bias: bool = False
+    ln_type: str = "WithBias"
+    decoder: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp_img):
+        b, h0, w0, _ = inp_img.shape
+        x = pad_to_multiple(inp_img, 8)
+        out = _PromptIRTrunk(
+            self.inp_channels, self.out_channels, self.dim, self.num_blocks,
+            self.num_refinement_blocks, self.heads,
+            self.ffn_expansion_factor, self.bias, self.ln_type, self.decoder,
+            dtype=self.dtype, name="trunk")(x)
+        return out[:, :h0, :w0]
+
+
+class PromptIRRefFusion(nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    bias: bool = False
+    ln_type: str = "WithBias"
+    decoder: bool = True
+    nf: int = 48
+    ext_n_blocks: Sequence[int] = (4, 4, 4, 4)
+    reffusion_n_blocks: Sequence[int] = (2, 2, 2, 2)
+    reffusion_n_blocks_middle: int = 1
+    num_nbr: int = 1
+    psize: int = 3
+    lr_block_size: int = 8
+    ref_down_block_size: float = 1.5
+    dilations: Sequence[int] = (1, 2, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp_img, ref_img):
+        b, h0, w0, _ = inp_img.shape
+        pad = 8 * self.lr_block_size
+        inp = pad_to_multiple(inp_img, pad)
+        ref = pad_to_multiple(ref_img, pad)
+        enc = MASAEncoder(self.nf, self.ext_n_blocks, 4, self.dtype,
+                          name="masa_enc")
+        warp = masa_match_and_warp(
+            enc(inp)[-1], enc(ref),
+            lr_block_size=self.lr_block_size,
+            ref_down_block_size=self.ref_down_block_size,
+            psize=self.psize, dilations=tuple(self.dilations),
+        )
+        out = _PromptIRTrunk(
+            self.inp_channels, self.out_channels, self.dim, self.num_blocks,
+            self.num_refinement_blocks, self.heads,
+            self.ffn_expansion_factor, self.bias, self.ln_type, self.decoder,
+            self.reffusion_n_blocks, dtype=self.dtype, name="trunk")(inp, warp)
+        return out[:, :h0, :w0]
