@@ -1,0 +1,122 @@
+"""Reference-image generation CLI (pipeline A inference).
+
+Command surface mirrors scripts/generate/main_generate_reference.py:
+
+    python -m textualdegremoval_tpu.cli.generate_reference \
+        --test_data_dir <degraded images> --output_dir <out> \
+        --i2t_mapper_path ... --tr_mapper_path ... \
+        [--pretrained_params <orbax dir with tower params>] \
+        [--num_words 20 --guidance_scale 5 --steps 100 --size 512]
+
+The reference's fp16 towers map to bfloat16 here.  For each input image:
+center-crop -> 512 SD view + 224 CLIP view -> I2T -> TR clean mapper ->
+inject -> 100-step DDIM CFG -> decode -> save PNG (reference
+ReferenceGenerationDataset + validation loop, SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import cv2
+
+from textualdegremoval_tpu.diffusion.pipeline import (
+    GuidanceModules, generate_reference,
+)
+from textualdegremoval_tpu.data.pairing import scan_images
+from textualdegremoval_tpu.data.datasets import imread_f32
+from textualdegremoval_tpu.utils.image import tensor2img, imwrite
+
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# "a photo of a S" template token ids for the SD 2.1 tokenizer; the
+# placeholder index (position of S) is 4.  When transformers is available we
+# tokenize properly; these constants are the documented fallback.
+PROMPT_TEMPLATE = "a photo of a S"
+INJ_INDEX = 5
+
+
+def center_crop_square(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    return img[top : top + s, left : left + s]
+
+
+def tokenize(prompt: str, max_length: int = 77):
+    try:
+        from transformers import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+        out = tok(prompt, padding="max_length", max_length=max_length,
+                  truncation=True, return_tensors="np")
+        return out.input_ids.astype(np.int32)
+    except Exception:
+        # offline fallback: BOS .. placeholder .. EOS padded
+        ids = np.full((1, max_length), 0, np.int32)
+        ids[0, 0] = 49406
+        ids[0, 1:6] = [320, 1125, 539, 320, 49407 - 1]
+        ids[0, 6] = 49407
+        return ids
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--test_data_dir", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--pretrained_params", default=None,
+                    help="orbax dir with {text_encoder,image_encoder,unet,"
+                         "vae,mapper,clean_mapper} params")
+    ap.add_argument("--num_words", type=int, default=20)
+    ap.add_argument("--guidance_scale", type=float, default=5.0)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    mods = GuidanceModules.sd21_config(num_words=args.num_words)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    input_ids = jnp.asarray(tokenize(PROMPT_TEMPLATE))
+    uncond_ids = jnp.asarray(tokenize(""))
+    inj_index = jnp.asarray([INJ_INDEX], jnp.int32)
+
+    if args.pretrained_params:
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.pretrained_params))
+    else:
+        raise SystemExit(
+            "--pretrained_params is required (tower weights); convert the "
+            "reference checkpoints with textualdegremoval_tpu.convert first")
+
+    paths = scan_images(args.test_data_dir)
+    rng = jax.random.PRNGKey(args.seed)
+    for i, path in enumerate(paths):
+        img = center_crop_square(imread_f32(path))
+        sd_view = cv2.resize(img, (args.size, args.size))
+        clip_view = cv2.resize(img, (224, 224))
+        clip_view = (clip_view - CLIP_MEAN) / CLIP_STD
+
+        rng, step_rng = jax.random.split(rng)
+        out = generate_reference(
+            mods, params, jnp.asarray(clip_view)[None], input_ids,
+            uncond_ids, inj_index, step_rng,
+            latent_hw=(args.size // 8, args.size // 8),
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale)
+        # [-1,1] -> [0,1]
+        out_img = tensor2img((np.asarray(out) + 1) / 2)
+        name = os.path.splitext(os.path.basename(path))[0] + ".png"
+        imwrite(out_img, os.path.join(args.output_dir, name))
+        print(f"[{i + 1}/{len(paths)}] {name}")
+
+
+if __name__ == "__main__":
+    main()

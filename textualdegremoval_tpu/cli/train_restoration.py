@@ -87,11 +87,19 @@ def main(argv=None):
     opt = parse(args.opt, is_train=True)
     logger = get_root_logger(
         log_file=os.path.join(opt["path"]["log"], "train.log"))
-    mesh = make_mesh()
-    logger.info(f"mesh: {mesh.devices.shape} devices")
+
+    # YAML batch sizes are per-device (reference batch_size_per_gpu); the dp
+    # mesh is sized so the global batch divides evenly.
+    ds_opt = dict(opt["datasets"]["train"])
+    per_dev_batch = ds_opt.get("batch_size_per_gpu", 1)
+    n_dev = jax.local_device_count()
+    mesh = make_mesh(dp=n_dev)
+    global_batch = per_dev_batch * n_dev
+    ds_opt["batch_size_per_gpu"] = global_batch
+    logger.info(f"mesh: {mesh.devices.shape} devices, "
+                f"global batch {global_batch}")
 
     # data
-    ds_opt = opt["datasets"]["train"]
     train_set = create_dataset(ds_opt)
     train_loader = create_dataloader(
         train_set, ds_opt, num_replicas=jax.process_count(),
@@ -184,6 +192,7 @@ def main(argv=None):
                 current_iter += 1
                 gt_size_b, mini_b = pick_bucket(current_iter, groups,
                                                 gt_sizes, batches)
+                mini_b = mini_b * n_dev  # per-device -> global
                 host_batch = {k: np.asarray(v) for k, v in batch.items()
                               if isinstance(v, jax.Array)}
                 host_batch = crop_batch(host_batch, gt_size_b, mini_b, rng)

@@ -37,9 +37,11 @@ def create_dataloader(dataset, opt: dict, num_replicas: int = 1, rank: int = 0,
         batch = opt.get("batch_size_per_gpu", 1)
         workers = opt.get("num_worker_per_gpu", 4)
         if sampler is None:
-            sampler = EnlargedSampler(
-                len(dataset), num_replicas, rank,
-                opt.get("dataset_enlarge_ratio", 1))
+            # enlarge enough that every rank yields at least one full batch
+            # per epoch (iteration-based training, reference EnlargedSampler)
+            min_ratio = -(-batch * num_replicas // max(len(dataset), 1))
+            ratio = max(opt.get("dataset_enlarge_ratio", 1), min_ratio)
+            sampler = EnlargedSampler(len(dataset), num_replicas, rank, ratio)
         return DataLoader(dataset, batch, sampler=sampler,
                           num_workers=workers, drop_last=True)
     return DataLoader(dataset, 1, sampler=None, num_workers=1,
