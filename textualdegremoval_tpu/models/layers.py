@@ -22,9 +22,9 @@ from textualdegremoval_tpu.ops import (
     pixel_shuffle,
     pixel_unshuffle,
     simple_gate,
-    mdta_attention,
     masa_match_and_warp,
 )
+from textualdegremoval_tpu.ops.attention import mdta_attention_nhwc
 from textualdegremoval_tpu.ops.tlc import local_avg_pool, tlc_kernel_size
 
 
@@ -92,9 +92,7 @@ class MDTAAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
         heads = self.num_heads
-        cph = c // heads
         temperature = self.param(
             "temperature", nn.initializers.ones, (heads, 1, 1)
         )
@@ -105,12 +103,7 @@ class MDTAAttention(nn.Module):
                       dtype=self.dtype, param_dtype=jnp.float32,
                       name="qkv_dwconv")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def to_heads(t):
-            return t.reshape(b, h * w, heads, cph).transpose(0, 2, 3, 1)
-
-        out = mdta_attention(to_heads(q), to_heads(k), to_heads(v), temperature)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        out = mdta_attention_nhwc(q, k, v, temperature, heads)
         return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias,
                        dtype=self.dtype, param_dtype=jnp.float32,
                        name="project_out")(out)

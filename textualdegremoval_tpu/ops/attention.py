@@ -53,6 +53,51 @@ def mdta_attention(
     return out
 
 
+def mdta_attention_nhwc(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    temperature: jnp.ndarray,
+    heads: int,
+) -> jnp.ndarray:
+    """MDTA directly on NHWC tensors — no head transposes.
+
+    The (B, heads, c, L) layout forces two materialized transposes of the
+    full-resolution tensor per call; this variant reads q/k/v as
+    (B, H, W, C), folds HW into the contraction axis of the C x C gram, and
+    writes the output back in NHWC.  L2 statistics are accumulated in f32
+    without materializing f32 copies of the activations.
+
+    Args:
+      q, k, v: (B, H, W, C).
+      temperature: (heads, 1, 1).
+    Returns:
+      (B, H, W, C).
+    """
+    b, h, w, c = q.shape
+    cph = c // heads
+    dt = q.dtype
+
+    def heads_view(t):
+        return t.reshape(b, h * w, heads, cph)
+
+    qh, kh, vh = heads_view(q), heads_view(k), heads_view(v)
+    # rsqrt norms over the spatial axis, f32 accumulation only
+    qn = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=1,
+                            keepdims=True), 1e-24))
+    kn = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=1,
+                            keepdims=True), 1e-24))
+    # C x C gram per head, f32 accumulate on the MXU
+    attn = jnp.einsum("bnhc,bnhd->bhcd", qh, kh,
+                      preferred_element_type=jnp.float32)
+    attn = attn * (qn.transpose(0, 2, 3, 1) * kn.transpose(0, 2, 1, 3))
+    attn = jax.nn.softmax(attn * temperature.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhcd,bnhd->bnhc", attn.astype(dt), vh)
+    return out.reshape(b, h, w, c)
+
+
 def tksa_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

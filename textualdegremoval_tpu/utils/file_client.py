@@ -1,0 +1,44 @@
+"""Byte-stream file backends (reference utils/file_client.py:5-187).
+
+Disk backend always available; LMDB gated on the lmdb package (absent in
+this image — ArrayRecord/TFRecord pipelines are the recommended TPU path)."""
+
+from __future__ import annotations
+
+
+class DiskBackend:
+    def get(self, filepath: str) -> bytes:
+        with open(filepath, "rb") as f:
+            return f.read()
+
+
+class LmdbBackend:
+    def __init__(self, db_path: str, readonly=True, lock=False,
+                 readahead=False):
+        try:
+            import lmdb
+        except ImportError as e:
+            raise ImportError(
+                "lmdb backend requested but the lmdb package is not "
+                "installed; use the disk backend or an ArrayRecord "
+                "pipeline") from e
+        self._env = lmdb.open(db_path, readonly=readonly, lock=lock,
+                              readahead=readahead)
+
+    def get(self, key: str) -> bytes:
+        with self._env.begin(write=False) as txn:
+            return bytes(txn.get(key.encode("ascii")))
+
+
+class FileClient:
+    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend}
+
+    def __init__(self, backend: str = "disk", **kwargs):
+        if backend not in self._backends:
+            raise ValueError(
+                f"backend {backend} not supported; choose from "
+                f"{sorted(self._backends)}")
+        self.backend = self._backends[backend](**kwargs)
+
+    def get(self, filepath: str) -> bytes:
+        return self.backend.get(filepath)
