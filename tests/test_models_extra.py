@@ -97,12 +97,21 @@ class TestNAFNetDynamic:
         assert y.shape == x.shape
 
     def test_conditioning_matters(self):
+        import flax.traverse_util as tu
+
         m = NAFNetDynamicFusion(width=8, middle_blk_num=1,
                                 enc_blk_nums=(1,), dec_blk_nums=(1,))
         x = jax.random.normal(KEY, (1, 16, 16, 3))
         k1 = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 1024))
         k2 = jax.random.normal(jax.random.PRNGKey(2), (1, 10, 1024))
         params = m.init(KEY, x, k1)
+        # beta/gamma residual gates are zero at init (blocks are identity);
+        # open them so the conditioning path is observable
+        flat = tu.flatten_dict(params["params"])
+        for k in flat:
+            if k[-1] in ("beta", "gamma"):
+                flat[k] = jnp.ones_like(flat[k])
+        params = {"params": tu.unflatten_dict(flat)}
         y1 = m.apply(params, x, k1)
         y2 = m.apply(params, x, k2)
         assert not np.allclose(np.asarray(y1), np.asarray(y2))

@@ -450,3 +450,144 @@ class ORestormerRefFusion(nn.Module):
             torch.cat([self.up3_2(d3), e2], 1)))
         d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
         return self.output(self.refinement(d1)) + inp
+
+
+# ---------------------------------------------------------------------------
+# Tower oracles with original checkpoint naming (mapper / dino / clip-text)
+# ---------------------------------------------------------------------------
+
+
+class OMapper(nn.Module):
+    """Reference I2T Mapper layout: per-word Sequential(Linear, LN, LeakyReLU
+    x3, Linear) for CLS and mean-pooled patches."""
+
+    def __init__(self, input_dim, output_dim, num_words, hidden=1280):
+        super().__init__()
+        self.num_words = num_words
+        for i in range(num_words):
+            for prefix in ("mapping", "mapping_patch"):
+                seq = nn.Sequential(
+                    nn.Linear(input_dim, hidden), nn.LayerNorm(hidden),
+                    nn.LeakyReLU(),
+                    nn.Linear(hidden, hidden), nn.LayerNorm(hidden),
+                    nn.LeakyReLU(),
+                    nn.Linear(hidden, hidden), nn.LayerNorm(hidden),
+                    nn.LeakyReLU(),
+                    nn.Linear(hidden, output_dim))
+                setattr(self, f"{prefix}_{i}", seq)
+
+    def forward(self, embs):
+        states = []
+        for i in range(self.num_words):
+            h = getattr(self, f"mapping_{i}")(embs[:, :1]) + \
+                getattr(self, f"mapping_patch_{i}")(embs[:, 1:]).mean(
+                    dim=1, keepdim=True)
+            states.append(h)
+        return torch.cat(states, dim=1)
+
+
+class ODinoBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, dim * 3)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.ls1 = nn.Module()
+        self.ls1.gamma = nn.Parameter(torch.ones(dim))
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.ls2 = nn.Module()
+        self.ls2.gamma = nn.Parameter(torch.ones(dim))
+        self.heads = heads
+
+    def _attn(self, x):
+        b, n, d = x.shape
+        qkv = self.attn.qkv(x).reshape(b, n, 3, self.heads, d // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.transpose(1, 2); k = k.transpose(1, 2); v = v.transpose(1, 2)
+        out = F.scaled_dot_product_attention(q, k, v)
+        out = out.transpose(1, 2).reshape(b, n, d)
+        return self.attn.proj(out)
+
+    def forward(self, x):
+        x = x + self._attn(self.norm1(x)) * self.ls1.gamma
+        x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x)))) * self.ls2.gamma
+        return x
+
+
+class ODino(nn.Module):
+    def __init__(self, img_size=28, patch=14, dim=32, depth=2, heads=2):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        n = (img_size // patch) ** 2
+        self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+        self.blocks = nn.ModuleList([ODinoBlock(dim, heads)
+                                     for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(b, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)[:, 1:]
+
+
+class OCLIPText(nn.Module):
+    """HF CLIPTextModel-shaped tiny text tower (gelu act)."""
+
+    def __init__(self, vocab=100, maxpos=16, dim=64, depth=2, heads=4):
+        super().__init__()
+        emb = nn.Module()
+        emb.token_embedding = nn.Embedding(vocab, dim)
+        emb.position_embedding = nn.Embedding(maxpos, dim)
+        self.embeddings = emb
+        layers = []
+        for _ in range(depth):
+            l = nn.Module()
+            l.layer_norm1 = nn.LayerNorm(dim, eps=1e-5)
+            sa = nn.Module()
+            for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                setattr(sa, p, nn.Linear(dim, dim))
+            l.self_attn = sa
+            l.layer_norm2 = nn.LayerNorm(dim, eps=1e-5)
+            mlp = nn.Module()
+            mlp.fc1 = nn.Linear(dim, dim * 4)
+            mlp.fc2 = nn.Linear(dim * 4, dim)
+            l.mlp = mlp
+            layers.append(l)
+        enc = nn.Module()
+        enc.layers = nn.ModuleList(layers)
+        self.encoder = enc
+        self.final_layer_norm = nn.LayerNorm(dim, eps=1e-5)
+        self.heads = heads
+
+    def forward(self, ids):
+        b, s = ids.shape
+        x = self.embeddings.token_embedding(ids) + \
+            self.embeddings.position_embedding(torch.arange(s))
+        for l in self.encoder.layers:
+            y = l.layer_norm1(x)
+            bq = l.self_attn.q_proj(y)
+            bk = l.self_attn.k_proj(y)
+            bv = l.self_attn.v_proj(y)
+            d = bq.shape[-1]
+            h = self.heads
+
+            def sh(t):
+                return t.view(b, s, h, d // h).transpose(1, 2)
+
+            attn_out = F.scaled_dot_product_attention(
+                sh(bq), sh(bk), sh(bv), is_causal=True)
+            attn_out = attn_out.transpose(1, 2).reshape(b, s, d)
+            x = x + l.self_attn.out_proj(attn_out)
+            y = l.layer_norm2(x)
+            x = x + l.mlp.fc2(F.gelu(l.mlp.fc1(y)))
+        return self.final_layer_norm(x)

@@ -28,25 +28,33 @@ class WordMLPs(nn.Module):
     input_dim: int
     hidden_dim: int = 1280
     output_dim: int = 1024
+    diagonal: bool = False  # word i consumes token i (CleanMapper dispatch)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, num_words, input_dim) or (B, 1, input_dim) broadcast.
-        Returns (B, num_words, output_dim)."""
+        """x: (B, T, input_dim) token stream.
+
+        diagonal=False: every word-MLP runs on every token ->
+        (B, T, num_words, output_dim).
+        diagonal=True: T must equal num_words; word-MLP i runs on token i ->
+        (B, num_words, output_dim)."""
         w = self.num_words
         dims = [self.input_dim, self.hidden_dim, self.hidden_dim,
                 self.hidden_dim, self.output_dim]
-        if x.shape[1] == 1:
-            x = jnp.broadcast_to(x, (x.shape[0], w, x.shape[2]))
-        h = x.astype(self.dtype)
+        if self.diagonal:
+            h = x.astype(self.dtype)  # (B, W, D)
+        else:
+            h = x.astype(self.dtype)[:, :, None, :]  # (B, T, 1, D)
+            h = jnp.broadcast_to(h, h.shape[:2] + (w, h.shape[-1]))
+        eq = "bwi,wio->bwo" if self.diagonal else "btwi,wio->btwo"
         for li in range(4):
             kernel = self.param(f"linear{li}_kernel",
                                 nn.initializers.lecun_normal(),
                                 (w, dims[li], dims[li + 1]))
             bias = self.param(f"linear{li}_bias", nn.initializers.zeros,
                               (w, dims[li + 1]))
-            h = jnp.einsum("bwi,wio->bwo", h, kernel.astype(self.dtype)) + \
+            h = jnp.einsum(eq, h, kernel.astype(self.dtype)) + \
                 bias.astype(self.dtype)
             if li < 3:
                 ln_w = self.param(f"ln{li}_weight", nn.initializers.ones,
@@ -72,13 +80,16 @@ class I2TMapper(nn.Module):
     @nn.compact
     def __call__(self, image_embs):
         cls = image_embs[:, :1]  # (B, 1, D)
-        patch_mean = jnp.mean(image_embs[:, 1:], axis=1, keepdims=True)
+        patches = image_embs[:, 1:]  # (B, P, D)
+        # reference semantics (main_train_i2t_mapping.py:75-79): the patch
+        # MLP runs on EVERY patch token and the outputs are averaged (the
+        # MLP is nonlinear, so pool-after, not pool-before)
         h_cls = WordMLPs(self.num_words, self.input_dim,
                          output_dim=self.output_dim, dtype=self.dtype,
-                         name="mapping")(cls)
+                         name="mapping")(cls)[:, 0]
         h_patch = WordMLPs(self.num_words, self.input_dim,
                            output_dim=self.output_dim, dtype=self.dtype,
-                           name="mapping_patch")(patch_mean)
+                           name="mapping_patch")(patches).mean(axis=1)
         return h_cls + h_patch
 
 
@@ -91,5 +102,7 @@ class CleanMapper(nn.Module):
 
     @nn.compact
     def __call__(self, word_embs):
+        """word_embs: (B, num_words, dim); word i -> mapping_i(word_i)."""
         return WordMLPs(self.num_words, self.dim, output_dim=self.dim,
-                        dtype=self.dtype, name="mapping")(word_embs)
+                        diagonal=True, dtype=self.dtype,
+                        name="mapping")(word_embs)
