@@ -83,11 +83,17 @@ class LayerNorm2d(nn.Module):
 
 class MDTAAttention(nn.Module):
     """MDTA transposed channel attention
-    (network_restormer_guided_arch.py:246-277)."""
+    (network_restormer_guided_arch.py:246-277).
+
+    use_pallas: route the gram/softmax core through the fused Pallas
+    streaming kernel (ops.pallas.mdta) — bit-identical to the XLA path on
+    TPU; interpret-mode on CPU is slow, so the default only enables it on
+    TPU backends."""
 
     dim: int
     num_heads: int
     use_bias: bool = False
+    use_pallas: bool | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,7 +109,20 @@ class MDTAAttention(nn.Module):
                       dtype=self.dtype, param_dtype=jnp.float32,
                       name="qkv_dwconv")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = mdta_attention_nhwc(q, k, v, temperature, heads)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            # Default OFF: the fused kernel is bit-identical and compiles
+            # standalone, but inside the full model the remote Mosaic
+            # compiler currently 500s on some layouts (and the XLA path
+            # measures at the same speed after the NHWC rewrite).  Flip on
+            # per-module for experimentation.
+            use_pallas = False
+        if use_pallas:
+            from textualdegremoval_tpu.ops.pallas import mdta_attention_pallas
+
+            out = mdta_attention_pallas(q, k, v, temperature, heads)
+        else:
+            out = mdta_attention_nhwc(q, k, v, temperature, heads)
         return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias,
                        dtype=self.dtype, param_dtype=jnp.float32,
                        name="project_out")(out)

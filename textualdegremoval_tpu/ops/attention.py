@@ -125,13 +125,16 @@ def tksa_attention(
     # One top-k (sorted desc) gives every threshold.
     top_vals = jax.lax.top_k(attn, kmax)[0]  # (B, h, c, kmax)
 
-    out = jnp.zeros_like(v, dtype=jnp.float32)
-    vf = v.astype(jnp.float32)
+    # Blend the four masked softmaxes on the cheap C x C matrices FIRST,
+    # then do ONE attention-value product — out = (sum_i w_i a_i) @ v is
+    # algebraically identical to sum_i w_i (a_i @ v) but does a quarter of
+    # the L-sized matmul work (the reference's four attn @ v products are
+    # the dominant cost, network_drsformer_guided_arch.py:320-325).
+    blended = jnp.zeros_like(attn)
     for i, kk in enumerate(ks):
         thresh = top_vals[..., kk - 1 : kk]  # k-th largest per row
         masked = jnp.where(attn >= thresh, attn, -jnp.inf)
-        a = jax.nn.softmax(masked, axis=-1)
-        out = out + blend[i].astype(jnp.float32) * jnp.einsum(
-            "bhcd,bhdl->bhcl", a, vf
-        )
-    return out.astype(dt)
+        blended = blended + blend[i].astype(jnp.float32) * jax.nn.softmax(
+            masked, axis=-1)
+    out = jnp.einsum("bhcd,bhdl->bhcl", blended.astype(dt), v)
+    return out
