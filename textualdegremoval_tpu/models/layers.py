@@ -166,7 +166,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
-                              self.dtype, name="attn")(
+                              dtype=self.dtype, name="attn")(
             ChannelLayerNorm(self.dim, self.ln_type, name="norm1")(x))
         x = x + GDFN(self.dim, self.ffn_expansion_factor, self.use_bias,
                      self.dtype, name="ffn")(
@@ -190,7 +190,7 @@ class TransformerResFusionBlock(nn.Module):
         alpha = self.param("alpha", nn.initializers.zeros, (1,))
         shortcut = x
         x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
-                              self.dtype, name="attn")(
+                              dtype=self.dtype, name="attn")(
             ChannelLayerNorm(self.dim, self.ln_type, name="norm1")(x))
         x = x + GDFN(self.dim, self.ffn_expansion_factor, self.use_bias,
                      self.dtype, name="ffn")(
