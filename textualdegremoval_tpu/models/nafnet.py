@@ -124,8 +124,9 @@ class NAFNetRefFusion(nn.Module):
         # 5-level pyramid: deepest stride 16 == trunk padder
         enc = MASAEncoder(self.nf, self.ext_n_blocks, n_levels + 1,
                           self.dtype, name="masa_enc")
+        feats = enc(jnp.concatenate([x_in, ref_in], axis=0))
         warp = masa_match_and_warp(
-            enc(x_in)[-1], enc(ref_in),
+            feats[-1][: x_in.shape[0]], [f[x_in.shape[0]:] for f in feats],
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),

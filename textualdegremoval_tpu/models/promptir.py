@@ -239,8 +239,9 @@ class PromptIRRefFusion(nn.Module):
         ref = pad_to_multiple(ref_img, pad)
         enc = MASAEncoder(self.nf, self.ext_n_blocks, 4, self.dtype,
                           name="masa_enc")
+        feats = enc(jnp.concatenate([inp, ref], axis=0))
         warp = masa_match_and_warp(
-            enc(inp)[-1], enc(ref),
+            feats[-1][: inp.shape[0]], [f[inp.shape[0]:] for f in feats],
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),

@@ -162,8 +162,12 @@ class RestormerRefFusion(nn.Module):
         # checkpoints (masa_enc.conv_L1. ...) convert mechanically.
         enc = MASAEncoder(self.nf, self.ext_n_blocks, 4, self.dtype,
                           name="masa_enc")
+        # one batched tower pass over [lq; ref] instead of two
+        feats = enc(jnp.concatenate([inp, ref], axis=0))
+        feat_lq_deep = feats[-1][: inp.shape[0]]
+        feat_ref = [f[inp.shape[0]:] for f in feats]
         warp = masa_match_and_warp(
-            enc(inp)[-1], enc(ref),
+            feat_lq_deep, feat_ref,
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),
