@@ -171,13 +171,15 @@ def main(argv=None):
 
     total_iters = args.max_iters or int(topt["total_iter"])
     groups, gt_sizes, batches = progressive_buckets(ds_opt)
-    writer = ScalarWriter(opt["path"]["log"])
+    writer = ScalarWriter(opt["path"]["log"],
+                          opt.get("logger", {}).get("wandb"))
     msg = MessageLogger(total_iters, start_iter, writer, logger)
     rng = np.random.default_rng(opt.get("manual_seed", 0))
 
     log_freq = int(opt.get("logger", {}).get("print_freq", 100))
     save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 5000))
     val_freq = int(opt.get("val", {}).get("val_freq", 5000))
+    check_freq = int(opt.get("logger", {}).get("check_freq", 0))
 
     current_iter = start_iter
     epoch = 0
@@ -213,6 +215,9 @@ def main(argv=None):
                 })
                 data_time = time.time() - t_data
                 state, metrics = step_fn(state, step_batch)
+                if (check_freq and current_iter % check_freq == 0
+                        and jax.process_index() == 0):
+                    _dump_lher(model, state, step_batch, opt, current_iter)
                 if current_iter % log_freq == 0:
                     iter_time = time.time() - t_iter
                     msg(epoch, current_iter,
@@ -237,6 +242,31 @@ def main(argv=None):
                           jax.device_get(state.ema_params), current_iter)
     logger.info("training done")
     return state
+
+
+def _dump_lher(model, state, batch, opt, current_iter):
+    """LHER (lq|gt|pred|ref) visual smoke strip every check_freq iters
+    (reference image_restoration_ref_model.py:258-266)."""
+    import jax.numpy as jnp
+    from textualdegremoval_tpu.utils.image import tensor2img, imwrite
+
+    out = jax.jit(model.apply)({"params": state.params},
+                               batch["lq"][:1], batch["ref"][:1])
+    if isinstance(out, (list, tuple)):
+        out = out[-1]
+    strips = [tensor2img(np.asarray(batch[k][:1])) for k in ("lq", "gt")]
+    strips.append(tensor2img(np.asarray(out)))
+    ref_img = tensor2img(np.asarray(batch["ref"][:1]))
+    h = strips[0].shape[0]
+    if ref_img.shape[0] != h:  # ref may be a different crop size
+        import cv2
+
+        ref_img = cv2.resize(ref_img, (int(ref_img.shape[1] * h /
+                                           ref_img.shape[0]), h))
+    strips.append(ref_img)
+    lher = np.concatenate(strips, axis=1)
+    imwrite(lher, os.path.join(opt["path"]["visualization"],
+                               f"{current_iter:06d}.png"))
 
 
 def validate(model, state, val_loader, opt, logger, writer, current_iter):

@@ -38,11 +38,13 @@ def get_root_logger(name="tdr", log_level=logging.INFO, log_file=None):
 
 
 class ScalarWriter:
-    """TB-if-available scalar sink with JSONL fallback."""
+    """TB-if-available scalar sink with JSONL fallback, optional wandb
+    mirroring (reference init_wandb_logger tensorboard-sync mode)."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, wandb_opt: dict | None = None):
         self._tb = None
         self._jsonl = None
+        self._wandb = None
         if jax.process_index() != 0:
             return
         os.makedirs(log_dir, exist_ok=True)
@@ -52,6 +54,17 @@ class ScalarWriter:
             self._tb = tf.summary.create_file_writer(log_dir)
         except Exception:
             self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        if wandb_opt and wandb_opt.get("project"):
+            try:
+                import wandb
+
+                wandb.init(project=wandb_opt["project"],
+                           resume="allow" if wandb_opt.get("resume_id")
+                           else None,
+                           id=wandb_opt.get("resume_id"))
+                self._wandb = wandb
+            except Exception:
+                pass
 
     def write(self, step: int, scalars: dict):
         if self._tb is not None:
@@ -64,6 +77,9 @@ class ScalarWriter:
             self._jsonl.write(json.dumps({"step": step, **{
                 k: float(v) for k, v in scalars.items()}}) + "\n")
             self._jsonl.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in scalars.items()},
+                            step=step)
 
 
 class MessageLogger:
