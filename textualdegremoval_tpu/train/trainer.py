@@ -33,6 +33,9 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     ema_params: Any
+    # extra variable collections (e.g. SFNet's DynamicFilter BatchNorm
+    # batch_stats); empty dict for the LN-only backbones
+    model_state: Any = struct.field(default_factory=dict)
 
 
 def _masa_mask(params) -> Any:
@@ -99,12 +102,13 @@ def _mask_while(mask, fix_iters: int) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def create_train_state(params, tx) -> TrainState:
+def create_train_state(params, tx, model_state=None) -> TrainState:
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params=params,
         opt_state=tx.init(params),
         ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        model_state=model_state or {},
     )
 
 
@@ -124,9 +128,17 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch):
+        has_mutable = bool(state.model_state)
+
         def compute_loss(params):
             args = (batch["lq"], batch["ref"]) if has_ref else (batch["lq"],)
-            preds = apply_fn({"params": params}, *args)
+            variables = {"params": params, **state.model_state}
+            if has_mutable:
+                preds, new_model_state = apply_fn(
+                    variables, *args, mutable=list(state.model_state))
+            else:
+                preds = apply_fn(variables, *args)
+                new_model_state = state.model_state
             if not isinstance(preds, (list, tuple)):
                 preds = [preds]
             total = jnp.asarray(0.0, jnp.float32)
@@ -135,9 +147,10 @@ def make_train_step(
                 if p.shape[1] != gt.shape[1]:  # multi-scale supervision
                     gt = jax.image.resize(gt, p.shape, method="bilinear")
                 total = total + loss_fn(p, gt)
-            return total
+            return total, new_model_state
 
-        loss_val, grads = jax.value_and_grad(compute_loss)(state.params)
+        (loss_val, model_state), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = jax.tree_util.tree_map(
@@ -145,7 +158,8 @@ def make_train_step(
             state.ema_params, params,
         )
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, ema_params=ema)
+                               opt_state=opt_state, ema_params=ema,
+                               model_state=model_state)
         metrics = {"l_pix": loss_val,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
