@@ -32,6 +32,13 @@ from textualdegremoval_tpu.data.datasets import imread_f32
 # per-task network constructor table (reference
 # main_evaluation_deblur_derain_dehaze.py:26-264 hparams)
 TASK_TABLE = {
+    # tiny config for CI smoke runs
+    "tiny_smoke": {
+        "type": "RestormerRefFusion", "dim": 8, "num_blocks": [1, 1, 1, 1],
+        "num_refinement_blocks": 1, "heads": [1, 1, 2, 2], "bias": False,
+        "LayerNorm_type": "WithBias", "nf": 8, "ext_n_blocks": [1, 1, 1, 1],
+        "reffusion_n_blocks": [1, 1, 1, 1], "lr_block_size": 4,
+    },
     "restormer_color_denoise": {
         "type": "RestormerRefFusion", "dim": 48, "num_blocks": [4, 6, 6, 8],
         "num_refinement_blocks": 4, "heads": [1, 2, 4, 8],

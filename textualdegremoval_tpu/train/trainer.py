@@ -119,13 +119,20 @@ def make_train_step(
     ema_decay: float = 0.999,
     has_ref: bool = True,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
     apply_fn: (params, lq[, ref]) -> pred (or tuple of multi-scale preds).
     loss_fn: (pred, gt) -> scalar; applied per output and summed for
     multi-output models (SFNet's 3-scale supervision pattern).
+    remat: rematerialize the forward during backward (jax.checkpoint) —
+    trades ~30% step FLOPs for activation memory, enabling the reference's
+    batch-8 384px protocol per chip at full resolution.
     """
+    if remat:
+        apply_fn = jax.checkpoint(
+            apply_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
     def step(state: TrainState, batch):
         has_mutable = bool(state.model_state)
