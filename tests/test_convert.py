@@ -90,3 +90,32 @@ class TestRefFusionConversion:
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4
         )
+
+
+class TestNAFNetRefFusionConversion:
+    def test_forward_parity(self):
+        from textualdegremoval_tpu.models.nafnet import NAFNetRefFusion
+        from torch_oracles import ONAFNetRefFusion
+
+        kw = dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1, 1, 1),
+                  dec_blk_nums=(1, 1, 1, 1), nf=8, ext_n_blocks=(1, 1, 1, 1),
+                  reffusion_n_blocks=(1, 1, 1, 1),
+                  reffusion_n_blocks_middle=1, lr_block_size=4)
+        tm = randomize(ONAFNetRefFusion(**kw), seed=5)
+        tm.eval()
+        g = torch.Generator().manual_seed(6)
+        lq = torch.randn(1, 3, 64, 64, generator=g)
+        ref = torch.randn(1, 3, 64, 64, generator=g)
+        with torch.no_grad():
+            want = tm(lq, ref).numpy()
+
+        fm = NAFNetRefFusion(**kw)
+        params = {"params": convert_state_dict(tm.state_dict())}
+        lq_j = jnp.asarray(lq.numpy().transpose(0, 2, 3, 1))
+        ref_j = jnp.asarray(ref.numpy().transpose(0, 2, 3, 1))
+        init = fm.init(KEY, lq_j, ref_j)
+        assert verify_against_init(params["params"], init["params"]) == []
+        got = fm.apply(params, lq_j, ref_j)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4
+        )

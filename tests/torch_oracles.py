@@ -591,3 +591,391 @@ class OCLIPText(nn.Module):
             y = l.layer_norm2(x)
             x = x + l.mlp.fc2(F.gelu(l.mlp.fc1(y)))
         return self.final_layer_norm(x)
+
+
+class ONAFNetRefFusion(nn.Module):
+    """Torch oracle of the guided NAFNet: 5-level MASA + NAFResFuse blocks."""
+
+    def __init__(self, img_channel=3, width=8, middle_blk_num=1,
+                 enc_blk_nums=(1, 1, 1, 1), dec_blk_nums=(1, 1, 1, 1),
+                 nf=8, ext_n_blocks=(1, 1, 1, 1),
+                 reffusion_n_blocks=(1, 1, 1, 1),
+                 reffusion_n_blocks_middle=1, lr_block_size=4):
+        super().__init__()
+        self.lr_block_size = lr_block_size
+        n_levels = len(enc_blk_nums)
+        self.masa_enc = OMASAEncoder(img_channel, nf, ext_n_blocks,
+                                     n_levels + 1)
+        self.intro = nn.Conv2d(img_channel, width, 3, padding=1)
+        self.ending = nn.Conv2d(width, img_channel, 3, padding=1)
+        self.encoders = nn.ModuleList()
+        self.downs = nn.ModuleList()
+        self.decoders = nn.ModuleList()
+        self.ups = nn.ModuleList()
+        self.masa_blk_enc = nn.ModuleList()
+        chan = width
+        for i, n in enumerate(enc_blk_nums):
+            self.masa_blk_enc.append(nn.Sequential(
+                *[ONAFBlock(chan * 2) for _ in range(reffusion_n_blocks[i])]))
+            self.encoders.append(nn.Sequential(
+                *[ONAFBlock(chan) for _ in range(n)]))
+            self.downs.append(nn.Conv2d(chan, 2 * chan, 2, 2))
+            chan *= 2
+        # reference keeps the middle fuse in a ModuleList of one Sequential
+        self.masa_blk_middle = nn.ModuleList([nn.Sequential(
+            *[ONAFBlock(chan * 2) for _ in range(reffusion_n_blocks_middle)])])
+        self.middle_blks = nn.Sequential(
+            *[ONAFBlock(chan) for _ in range(middle_blk_num)])
+        for n in dec_blk_nums:
+            self.ups.append(nn.Sequential(
+                nn.Conv2d(chan, chan * 2, 1, bias=False), nn.PixelShuffle(2)))
+            chan //= 2
+            self.decoders.append(nn.Sequential(
+                *[ONAFBlock(chan) for _ in range(n)]))
+
+    def forward(self, inp, ref):
+        feat_lq = self.masa_enc(inp)
+        feat_ref = self.masa_enc(ref)
+        ky = feat_lq[-1].shape[-2] // max(
+            feat_lq[-1].shape[-2] // self.lr_block_size, 1)
+        cy = (ky + 2) // 2
+        dil = [d for d in (1, 2, 3) if cy - d >= 0 and cy + d < ky + 2] or [1]
+        warp = masa_oracle(feat_lq[-1], feat_ref, self.lr_block_size,
+                           dilations=dil)
+
+        def fuse(x, w, blocks):
+            cat = torch.cat([x, w], dim=1)
+            return blocks(cat)[:, : cat.size(1) // 2]
+
+        x = self.intro(inp)
+        encs = []
+        for enc, down, fuse_blk, w in zip(self.encoders, self.downs,
+                                          self.masa_blk_enc, warp):
+            x = fuse(x, w, fuse_blk)
+            x = enc(x)
+            encs.append(x)
+            x = down(x)
+        x = fuse(x, warp[-1], self.masa_blk_middle[0])
+        x = self.middle_blks(x)
+        for dec, up, skip in zip(self.decoders, self.ups, encs[::-1]):
+            x = up(x) + skip
+            x = dec(x)
+        return self.ending(x) + inp
+
+
+# ---------------------------------------------------------------------------
+# diffusers-shaped tiny VAE / UNet oracles (original checkpoint naming)
+# ---------------------------------------------------------------------------
+
+
+def _gnorm(ch, groups=32, eps=1e-6):
+    import math
+    return nn.GroupNorm(math.gcd(groups, ch), ch, eps=eps)
+
+
+class OVAEResnet(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = _gnorm(cin)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = _gnorm(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class OVAEAttn(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.group_norm = _gnorm(ch)
+        self.query = nn.Linear(ch, ch)
+        self.key = nn.Linear(ch, ch)
+        self.value = nn.Linear(ch, ch)
+        self.proj_attn = nn.Linear(ch, ch)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        y = self.group_norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        q, k, v = self.query(y), self.key(y), self.value(y)
+        attn = torch.softmax(q @ k.transpose(-1, -2) / (c ** 0.5), dim=-1)
+        out = self.proj_attn(attn @ v)
+        return x + out.reshape(b, h, w, c).permute(0, 3, 1, 2)
+
+
+class _Blocks(nn.Module):
+    pass
+
+
+class OVAE(nn.Module):
+    def __init__(self, chs=(16, 32), layers=1, zc=4):
+        super().__init__()
+        enc = _Blocks()
+        enc.conv_in = nn.Conv2d(3, chs[0], 3, padding=1)
+        enc.down_blocks = nn.ModuleList()
+        cin = chs[0]
+        for bi, c in enumerate(chs):
+            blk = _Blocks()
+            blk.resnets = nn.ModuleList(
+                [OVAEResnet(cin if li == 0 else c, c) for li in range(layers)])
+            if bi < len(chs) - 1:
+                ds = _Blocks()
+                ds.conv = nn.Conv2d(c, c, 3, stride=2)
+                blk.downsamplers = nn.ModuleList([ds])
+            enc.down_blocks.append(blk)
+            cin = c
+        mid = _Blocks()
+        mid.resnets = nn.ModuleList([OVAEResnet(chs[-1], chs[-1]),
+                                     OVAEResnet(chs[-1], chs[-1])])
+        mid.attentions = nn.ModuleList([OVAEAttn(chs[-1])])
+        enc.mid_block = mid
+        enc.conv_norm_out = _gnorm(chs[-1])
+        enc.conv_out = nn.Conv2d(chs[-1], 2 * zc, 3, padding=1)
+        self.encoder = enc
+        self.quant_conv = nn.Conv2d(2 * zc, 2 * zc, 1)
+
+        self.post_quant_conv = nn.Conv2d(zc, zc, 1)
+        dec = _Blocks()
+        dec.conv_in = nn.Conv2d(zc, chs[-1], 3, padding=1)
+        midd = _Blocks()
+        midd.resnets = nn.ModuleList([OVAEResnet(chs[-1], chs[-1]),
+                                      OVAEResnet(chs[-1], chs[-1])])
+        midd.attentions = nn.ModuleList([OVAEAttn(chs[-1])])
+        dec.mid_block = midd
+        dec.up_blocks = nn.ModuleList()
+        rev = list(reversed(chs))
+        cin = rev[0]
+        for bi, c in enumerate(rev):
+            blk = _Blocks()
+            blk.resnets = nn.ModuleList(
+                [OVAEResnet(cin if li == 0 else c, c)
+                 for li in range(layers + 1)])
+            if bi < len(rev) - 1:
+                us = _Blocks()
+                us.conv = nn.Conv2d(c, c, 3, padding=1)
+                blk.upsamplers = nn.ModuleList([us])
+            dec.up_blocks.append(blk)
+            cin = c
+        dec.conv_norm_out = _gnorm(rev[-1])
+        dec.conv_out = nn.Conv2d(rev[-1], 3, 3, padding=1)
+        self.decoder = dec
+
+    def encode_moments(self, x):
+        e = self.encoder
+        x = e.conv_in(x)
+        for bi, blk in enumerate(e.down_blocks):
+            for r in blk.resnets:
+                x = r(x)
+            if hasattr(blk, "downsamplers"):
+                x = F.pad(x, (0, 1, 0, 1))
+                x = blk.downsamplers[0].conv(x)
+        x = e.mid_block.resnets[0](x)
+        x = e.mid_block.attentions[0](x)
+        x = e.mid_block.resnets[1](x)
+        x = e.conv_out(F.silu(e.conv_norm_out(x)))
+        return self.quant_conv(x)
+
+    def decode(self, z):
+        d = self.decoder
+        x = d.conv_in(self.post_quant_conv(z))
+        x = d.mid_block.resnets[0](x)
+        x = d.mid_block.attentions[0](x)
+        x = d.mid_block.resnets[1](x)
+        for bi, blk in enumerate(d.up_blocks):
+            for r in blk.resnets:
+                x = r(x)
+            if hasattr(blk, "upsamplers"):
+                x = F.interpolate(x, scale_factor=2, mode="nearest")
+                x = blk.upsamplers[0].conv(x)
+        return d.conv_out(F.silu(d.conv_norm_out(x)))
+
+
+class OUNetResnet(nn.Module):
+    def __init__(self, cin, cout, tdim):
+        super().__init__()
+        self.norm1 = _gnorm(cin, eps=1e-5)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.time_emb_proj = nn.Linear(tdim, cout)
+        self.norm2 = _gnorm(cout, eps=1e-5)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x, t):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(F.silu(t))[:, :, None, None]
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class OUNetTBlock(nn.Module):
+    def __init__(self, dim, ctx, head_dim):
+        super().__init__()
+        self.heads = dim // head_dim
+        self.head_dim = head_dim
+        for n in ("norm1", "norm2", "norm3"):
+            setattr(self, n, nn.GroupNorm(1, dim, eps=1e-5))  # placeholder
+        # LayerNorms actually (names must match: norm1/2/3 weight/bias 1-D)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+        self.norm3 = nn.LayerNorm(dim, eps=1e-5)
+        a1 = _Blocks()
+        a1.to_q = nn.Linear(dim, dim, bias=False)
+        a1.to_k = nn.Linear(dim, dim, bias=False)
+        a1.to_v = nn.Linear(dim, dim, bias=False)
+        a1.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+        self.attn1 = a1
+        a2 = _Blocks()
+        a2.to_q = nn.Linear(dim, dim, bias=False)
+        a2.to_k = nn.Linear(ctx, dim, bias=False)
+        a2.to_v = nn.Linear(ctx, dim, bias=False)
+        a2.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+        self.attn2 = a2
+        ff = _Blocks()
+        g = _Blocks()
+        g.proj = nn.Linear(dim, dim * 8)
+        ff.net = nn.ModuleList([g, nn.Identity(), nn.Linear(dim * 4, dim)])
+        self.ff = ff
+
+    def _attn(self, a, x, ctx):
+        b, n, d = x.shape
+        q = a.to_q(x).view(b, n, self.heads, self.head_dim).transpose(1, 2)
+        k = a.to_k(ctx).view(b, -1, self.heads, self.head_dim).transpose(1, 2)
+        v = a.to_v(ctx).view(b, -1, self.heads, self.head_dim).transpose(1, 2)
+        out = F.scaled_dot_product_attention(q, k, v)
+        out = out.transpose(1, 2).reshape(b, n, d)
+        return a.to_out[0](out)
+
+    def forward(self, x, ctx):
+        x = x + self._attn(self.attn1, self.norm1(x), self.norm1(x))
+        x = x + self._attn(self.attn2, self.norm2(x), ctx)
+        y = self.ff.net[0].proj(self.norm3(x))
+        a, g = y.chunk(2, dim=-1)
+        x = x + self.ff.net[2](a * F.gelu(g))
+        return x
+
+
+class OUNetTransformer(nn.Module):
+    def __init__(self, dim, ctx, head_dim):
+        super().__init__()
+        self.norm = _gnorm(dim, eps=1e-6)
+        self.proj_in = nn.Linear(dim, dim)
+        self.transformer_blocks = nn.ModuleList([
+            OUNetTBlock(dim, ctx, head_dim)])
+        self.proj_out = nn.Linear(dim, dim)
+
+    def forward(self, x, ctx):
+        b, c, h, w = x.shape
+        res = x
+        y = self.norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        y = self.proj_in(y)
+        y = self.transformer_blocks[0](y, ctx)
+        y = self.proj_out(y)
+        return y.reshape(b, h, w, c).permute(0, 3, 1, 2) + res
+
+
+class OUNet(nn.Module):
+    def __init__(self, chs=(32, 64), layers=1, ctx=64, head_dim=16):
+        super().__init__()
+        tdim = chs[0] * 4
+        te = _Blocks()
+        te.linear_1 = nn.Linear(chs[0], tdim)
+        te.linear_2 = nn.Linear(tdim, tdim)
+        self.time_embedding = te
+        self.conv_in = nn.Conv2d(4, chs[0], 3, padding=1)
+        self.down_blocks = nn.ModuleList()
+        cin = chs[0]
+        for bi, c in enumerate(chs):
+            blk = _Blocks()
+            has_attn = bi < len(chs) - 1
+            blk.resnets = nn.ModuleList(
+                [OUNetResnet(cin if li == 0 else c, c, tdim)
+                 for li in range(layers)])
+            if has_attn:
+                blk.attentions = nn.ModuleList(
+                    [OUNetTransformer(c, ctx, head_dim)
+                     for _ in range(layers)])
+            if bi < len(chs) - 1:
+                ds = _Blocks()
+                ds.conv = nn.Conv2d(c, c, 3, stride=2, padding=1)
+                blk.downsamplers = nn.ModuleList([ds])
+            self.down_blocks.append(blk)
+            cin = c
+        mid = _Blocks()
+        mid.resnets = nn.ModuleList([OUNetResnet(chs[-1], chs[-1], tdim),
+                                     OUNetResnet(chs[-1], chs[-1], tdim)])
+        mid.attentions = nn.ModuleList([
+            OUNetTransformer(chs[-1], ctx, head_dim)])
+        self.mid_block = mid
+        self.up_blocks = nn.ModuleList()
+        # skip channel bookkeeping mirrors models/unet.py
+        skip_chs = [chs[0]]
+        for bi, c in enumerate(chs):
+            skip_chs += [c] * layers
+            if bi < len(chs) - 1:
+                skip_chs.append(c)
+        rev = list(reversed(chs))
+        cin = rev[0]
+        for bi, c in enumerate(rev):
+            blk = _Blocks()
+            has_attn = bi > 0
+            blk.resnets = nn.ModuleList()
+            if has_attn:
+                blk.attentions = nn.ModuleList()
+            for li in range(layers + 1):
+                sk = skip_chs.pop()
+                blk.resnets.append(OUNetResnet(cin + sk, c, tdim))
+                if has_attn:
+                    blk.attentions.append(
+                        OUNetTransformer(c, ctx, head_dim))
+                cin = c
+            if bi < len(rev) - 1:
+                us = _Blocks()
+                us.conv = nn.Conv2d(c, c, 3, padding=1)
+                blk.upsamplers = nn.ModuleList([us])
+            self.up_blocks.append(blk)
+        self.conv_norm_out = _gnorm(chs[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(chs[0], 4, 3, padding=1)
+        self.base_ch = chs[0]
+
+    def forward(self, x, t, ctx):
+        import math
+        half = self.base_ch // 2
+        freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
+        args = t.float()[:, None] * freqs[None]
+        temb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+        temb = self.time_embedding.linear_2(
+            F.silu(self.time_embedding.linear_1(temb)))
+
+        x = self.conv_in(x)
+        skips = [x]
+        for bi, blk in enumerate(self.down_blocks):
+            for li, r in enumerate(blk.resnets):
+                x = r(x, temb)
+                if hasattr(blk, "attentions"):
+                    x = blk.attentions[li](x, ctx)
+                skips.append(x)
+            if hasattr(blk, "downsamplers"):
+                x = blk.downsamplers[0].conv(x)
+                skips.append(x)
+        x = self.mid_block.resnets[0](x, temb)
+        x = self.mid_block.attentions[0](x, ctx)
+        x = self.mid_block.resnets[1](x, temb)
+        for bi, blk in enumerate(self.up_blocks):
+            for li, r in enumerate(blk.resnets):
+                x = torch.cat([x, skips.pop()], dim=1)
+                x = r(x, temb)
+                if hasattr(blk, "attentions"):
+                    x = blk.attentions[li](x, ctx)
+            if hasattr(blk, "upsamplers"):
+                x = F.interpolate(x, scale_factor=2, mode="nearest")
+                x = blk.upsamplers[0].conv(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))

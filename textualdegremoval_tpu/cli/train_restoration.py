@@ -44,6 +44,7 @@ from textualdegremoval_tpu.train.checkpoint import CheckpointManager
 from textualdegremoval_tpu.parallel import make_mesh, shard_batch, replicate
 from textualdegremoval_tpu.metrics import calculate_psnr, calculate_ssim
 from textualdegremoval_tpu.convert import load_torch_checkpoint
+from textualdegremoval_tpu.train.mixing import mixing_augment
 
 
 def progressive_buckets(ds_opt):
@@ -180,6 +181,8 @@ def main(argv=None):
     save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 5000))
     val_freq = int(opt.get("val", {}).get("val_freq", 5000))
     check_freq = int(opt.get("logger", {}).get("check_freq", 0))
+    mixing_cfg = (topt.get("mixing_augs") or {})
+    mix_rng = jax.random.PRNGKey(opt.get("manual_seed", 0) + 1)
 
     current_iter = start_iter
     epoch = 0
@@ -208,9 +211,17 @@ def main(argv=None):
                     left = max((rw - gt_size_b) // 2, 0)
                     ref_in = host_batch["ref"][:, top : top + gt_size_b,
                                                left : left + gt_size_b]
+                lq_np = np.asarray(host_batch["lq"])
+                gt_np = np.asarray(host_batch["gt"])
+                if mixing_cfg.get("mixup"):
+                    mix_rng, gt_j, lq_j = mixing_augment(
+                        mix_rng, jnp.asarray(gt_np), jnp.asarray(lq_np),
+                        mixing_cfg.get("mixup_beta", 1.2),
+                        mixing_cfg.get("use_identity", True))
+                    gt_np, lq_np = np.asarray(gt_j), np.asarray(lq_j)
                 step_batch = shard_batch(mesh, {
-                    "lq": np.asarray(host_batch["lq"]),
-                    "gt": np.asarray(host_batch["gt"]),
+                    "lq": lq_np,
+                    "gt": gt_np,
                     "ref": np.asarray(ref_in),
                 })
                 data_time = time.time() - t_data
