@@ -184,10 +184,16 @@ def generate_reference(mods: GuidanceModules, params: dict, clip_view,
                        latent_hw: tuple[int, int] = (64, 64),
                        num_inference_steps: int = 100,
                        guidance_scale: float = 5.0,
-                       use_clean_mapper: bool = True):
-    """Degraded image -> clean reference image (values in [-1, 1])."""
+                       use_clean_mapper: bool = True,
+                       token_index: int | None = None):
+    """Degraded image -> clean reference image (values in [-1, 1]).
+
+    token_index: inject only pseudo-word `token_index` instead of all
+    (reference validation's token_index flag, main_train_i2t_mapping:483)."""
     b = clip_view.shape[0]
     words = encode_pseudo_words(mods, params, clip_view, use_clean_mapper)
+    if token_index is not None:
+        words = words[:, token_index : token_index + 1]
     cond = text_states_with_injection(mods, params, input_ids, words,
                                       inj_index)
     uncond, _ = mods.text_encoder.apply(

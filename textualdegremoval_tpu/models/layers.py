@@ -25,33 +25,7 @@ from textualdegremoval_tpu.ops import (
     masa_match_and_warp,
 )
 from textualdegremoval_tpu.ops.attention import mdta_attention_nhwc
-from textualdegremoval_tpu.ops.tlc import local_avg_pool, tlc_kernel_size
-
-
-class Conv(nn.Module):
-    """3x3/1x1/strided conv in NHWC; thin wrapper fixing param dtype=f32."""
-
-    features: int
-    kernel_size: int = 3
-    stride: int = 1
-    use_bias: bool = True
-    groups: int = 1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        k = self.kernel_size
-        return nn.Conv(
-            self.features,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=[(k // 2, k // 2), (k // 2, k // 2)] if self.stride == 1 or k > 1 else "VALID",
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+from textualdegremoval_tpu.ops.tlc import local_avg_pool
 
 
 class ChannelLayerNorm(nn.Module):
