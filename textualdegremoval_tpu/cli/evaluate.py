@@ -114,7 +114,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     opt = dict(TASK_TABLE[args.task])
-    from textualdegremoval_tpu.models import define_network
     model = define_network(opt, dtype=getattr(jnp, args.dtype))
 
     hq_paths = scan_images(args.hqroot)

@@ -26,7 +26,7 @@ def _abs(path: str) -> str:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int | None = None):
+    def __init__(self, directory: str):
         self.directory = _abs(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
