@@ -85,11 +85,13 @@ class MDTAAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         use_pallas = self.use_pallas
         if use_pallas is None:
-            # Default OFF: the fused kernel is bit-identical and compiles
-            # standalone, but inside the full model the remote Mosaic
-            # compiler currently 500s on some layouts (and the XLA path
-            # measures at the same speed after the NHWC rewrite).  Flip on
-            # per-module for experimentation.
+            # Default OFF after measurement: the fused kernel is
+            # bit-identical and compiles for heads==1 (heads>1 trips a
+            # Mosaic lane-offset-slice limitation), but in the full model
+            # it measures ~2x slower than the XLA path — pallas_call acts
+            # as a fusion barrier around the qkv convs, which costs more
+            # than the one-pass statistics save.  Kept for
+            # standalone/experimental use.
             use_pallas = False
         if use_pallas:
             from textualdegremoval_tpu.ops.pallas import mdta_attention_pallas
