@@ -149,3 +149,31 @@ class TestRegistry:
                "lr_block_size": 4}
         m = define_network(opt)
         assert isinstance(m, NAFNetRefFusion)
+
+
+class TestDualPixelAndOddSizes:
+    def test_ref_fusion_odd_size_pads(self):
+        m = tiny_restormer_ref()
+        lq = jax.random.normal(KEY, (1, 50, 70, 3))
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 50, 70, 3))
+        params = m.init(KEY, lq, ref)
+        y = m.apply(params, lq, ref)
+        assert y.shape == lq.shape
+
+    def test_restormer_dual_pixel(self):
+        m = tiny_restormer(inp_channels=6, dual_pixel_task=True)
+        x = jax.random.normal(KEY, (1, 32, 32, 6))
+        params = m.init(KEY, x)
+        y = m.apply(params, x)
+        assert y.shape == (1, 32, 32, 3)
+
+    def test_ref_fusion_dual_pixel(self):
+        m = tiny_restormer_ref(inp_channels=6, dual_pixel_task=True)
+        lq = jax.random.normal(KEY, (1, 32, 32, 6))
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 6))
+        params = m.init(KEY, lq, ref)
+        y = m.apply(params, lq, ref)
+        assert y.shape == (1, 32, 32, 3)
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(params["params"])
+        assert any("skip_conv" in "/".join(k) for k in flat)

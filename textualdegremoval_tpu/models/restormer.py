@@ -194,6 +194,7 @@ class RestormerRefFusion(nn.Module):
 
         x = fuse(x, warp[0], self.heads[0], self.reffusion_n_blocks[0],
                  "masa_blk_enc_level1")
+        inp_enc1 = x  # fused level-1 input (dual-pixel skip source)
         out_enc1 = blocks(d, self.heads[0], self.num_blocks[0],
                           "encoder_level1")(x)
 
@@ -236,9 +237,18 @@ class RestormerRefFusion(nn.Module):
         x = blocks(d * 2, self.heads[0], self.num_refinement_blocks,
                    "refinement")(x)
 
-        out = nn.Conv(self.out_channels, (3, 3), padding=1,
-                      use_bias=self.bias, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="output")(x)
-        if not self.dual_pixel_task:
+        if self.dual_pixel_task:
+            # skip connection from the fused level-1 input
+            # (reference :956-960)
+            x = x + nn.Conv(d * 2, (1, 1), use_bias=self.bias,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="skip_conv")(inp_enc1)
+            out = nn.Conv(self.out_channels, (3, 3), padding=1,
+                          use_bias=self.bias, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="output")(x)
+        else:
+            out = nn.Conv(self.out_channels, (3, 3), padding=1,
+                          use_bias=self.bias, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="output")(x)
             out = out + inp.astype(out.dtype)
         return out[:, :h0, :w0]
