@@ -119,3 +119,27 @@ class TestNAFNetRefFusionConversion:
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4
         )
+
+
+class TestDRSformerConversion:
+    def test_forward_parity_no_mefc(self):
+        from textualdegremoval_tpu.models.drsformer import DRSformer
+        from torch_oracles import ODRSformer
+
+        tm = randomize(ODRSformer(dim=8, num_blocks=(1, 1, 1, 1),
+                                  heads=(1, 1, 2, 2)), seed=11)
+        tm.eval()
+        x = torch.randn(1, 3, 32, 32,
+                        generator=torch.Generator().manual_seed(12))
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        fm = DRSformer(dim=8, num_blocks=(1, 1, 1, 1), heads=(1, 1, 2, 2),
+                       use_mefc=False)
+        params = {"params": convert_state_dict(tm.state_dict())}
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        init = fm.init(KEY, xj)
+        assert verify_against_init(params["params"], init["params"]) == []
+        got = fm.apply(params, xj)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)

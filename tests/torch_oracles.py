@@ -979,3 +979,120 @@ class OUNet(nn.Module):
                 x = F.interpolate(x, scale_factor=2, mode="nearest")
                 x = blk.upsamplers[0].conv(x)
         return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class OTKSA(nn.Module):
+    def __init__(self, dim, heads, bias=False):
+        super().__init__()
+        self.num_heads = heads
+        self.temperature = nn.Parameter(torch.ones(heads, 1, 1))
+        self.qkv = nn.Conv2d(dim, dim * 3, 1, bias=bias)
+        self.qkv_dwconv = nn.Conv2d(dim * 3, dim * 3, 3, padding=1,
+                                    groups=dim * 3, bias=bias)
+        self.project_out = nn.Conv2d(dim, dim, 1, bias=bias)
+        self.attn1 = nn.Parameter(torch.tensor([0.2]))
+        self.attn2 = nn.Parameter(torch.tensor([0.2]))
+        self.attn3 = nn.Parameter(torch.tensor([0.2]))
+        self.attn4 = nn.Parameter(torch.tensor([0.2]))
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        qkv = self.qkv_dwconv(self.qkv(x))
+        q, k, v = qkv.chunk(3, dim=1)
+        hd = self.num_heads
+        q = q.view(b, hd, c // hd, h * w)
+        k = k.view(b, hd, c // hd, h * w)
+        v = v.view(b, hd, c // hd, h * w)
+        q = F.normalize(q, dim=-1)
+        k = F.normalize(k, dim=-1)
+        C = c // hd
+        attn = (q @ k.transpose(-2, -1)) * self.temperature
+        out = 0
+        for wgt, kk in ((self.attn1, C // 2), (self.attn2, C * 2 // 3),
+                        (self.attn3, C * 3 // 4), (self.attn4, C * 4 // 5)):
+            idx = torch.topk(attn, k=kk, dim=-1)[1]
+            mask = torch.zeros_like(attn).scatter_(-1, idx, 1.0)
+            a = torch.where(mask > 0, attn, torch.full_like(attn, float("-inf")))
+            out = out + wgt * (a.softmax(dim=-1) @ v)
+        out = out.view(b, c, h, w)
+        return self.project_out(out)
+
+
+class OMSFN(nn.Module):
+    def __init__(self, dim, ffn_factor=2.66, bias=False):
+        super().__init__()
+        hidden = int(dim * ffn_factor)
+        self.project_in = nn.Conv2d(dim, hidden * 2, 1, bias=bias)
+        self.dwconv3x3 = nn.Conv2d(hidden * 2, hidden * 2, 3, padding=1,
+                                   groups=hidden * 2, bias=bias)
+        self.dwconv5x5 = nn.Conv2d(hidden * 2, hidden * 2, 5, padding=2,
+                                   groups=hidden * 2, bias=bias)
+        self.dwconv3x3_1 = nn.Conv2d(hidden * 2, hidden, 3, padding=1,
+                                     groups=hidden, bias=bias)
+        self.dwconv5x5_1 = nn.Conv2d(hidden * 2, hidden, 5, padding=2,
+                                     groups=hidden, bias=bias)
+        self.project_out = nn.Conv2d(hidden * 2, dim, 1, bias=bias)
+
+    def forward(self, x):
+        x = self.project_in(x)
+        x1_3, x2_3 = F.relu(self.dwconv3x3(x)).chunk(2, dim=1)
+        x1_5, x2_5 = F.relu(self.dwconv5x5(x)).chunk(2, dim=1)
+        x1 = F.relu(self.dwconv3x3_1(torch.cat([x1_3, x1_5], dim=1)))
+        x2 = F.relu(self.dwconv5x5_1(torch.cat([x2_3, x2_5], dim=1)))
+        return self.project_out(torch.cat([x1, x2], dim=1))
+
+
+class OSparseBlock(nn.Module):
+    def __init__(self, dim, heads, ffn_factor=2.66, bias=False,
+                 ln_type="WithBias"):
+        super().__init__()
+        self.norm1 = OLayerNorm(dim, ln_type)
+        self.attn = OTKSA(dim, heads, bias)
+        self.norm2 = OLayerNorm(dim, ln_type)
+        self.ffn = OMSFN(dim, ffn_factor, bias)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.ffn(self.norm2(x))
+        return x
+
+
+class ODRSformer(nn.Module):
+    """Plain DRSformer (no MEFC — the 200L/SPA variant)."""
+
+    def __init__(self, dim=8, num_blocks=(1, 1, 1, 1), heads=(1, 1, 2, 2)):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, 3, padding=1, bias=False)
+
+        def seq(d, h, n):
+            return nn.Sequential(*[OSparseBlock(d, h) for _ in range(n)])
+
+        self.encoder_level1 = seq(dim, heads[0], num_blocks[0])
+        self.down1_2 = ODownsample(dim)
+        self.encoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.down2_3 = ODownsample(dim * 2)
+        self.encoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.down3_4 = ODownsample(dim * 4)
+        self.latent = seq(dim * 8, heads[3], num_blocks[3])
+        self.up4_3 = OUpsample(dim * 8)
+        self.reduce_chan_level3 = nn.Conv2d(dim * 8, dim * 4, 1, bias=False)
+        self.decoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.up3_2 = OUpsample(dim * 4)
+        self.reduce_chan_level2 = nn.Conv2d(dim * 4, dim * 2, 1, bias=False)
+        self.decoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.up2_1 = OUpsample(dim * 2)
+        self.decoder_level1 = seq(dim * 2, heads[0], num_blocks[0])
+        self.output = nn.Conv2d(dim * 2, 3, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        e1 = self.encoder_level1(self.patch_embed.proj(x))
+        e2 = self.encoder_level2(self.down1_2(e1))
+        e3 = self.encoder_level3(self.down2_3(e2))
+        lat = self.latent(self.down3_4(e3))
+        d3 = self.decoder_level3(self.reduce_chan_level3(
+            torch.cat([self.up4_3(lat), e3], 1)))
+        d2 = self.decoder_level2(self.reduce_chan_level2(
+            torch.cat([self.up3_2(d3), e2], 1)))
+        d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
+        return self.output(d1) + x
