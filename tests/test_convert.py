@@ -143,3 +143,25 @@ class TestDRSformerConversion:
         got = fm.apply(params, xj)
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)
+
+
+class TestConvTransposeConversion:
+    def test_sfnet_up_conv_key_converts_with_flip(self):
+        import torch.nn as nn
+
+        tconv = nn.ConvTranspose2d(4, 6, 4, stride=2, padding=1)
+        randomize(tconv, seed=13)
+        sd = {"feat_extract.3.conv.weight": tconv.weight,
+              "feat_extract.3.conv.bias": tconv.bias}
+        tree = convert_state_dict(sd)
+        import flax.linen as fnn
+
+        m = fnn.ConvTranspose(6, (4, 4), strides=(2, 2),
+                              padding=((2, 2), (2, 2)))
+        x = torch.randn(1, 4, 8, 8, generator=torch.Generator().manual_seed(14))
+        want = tconv(x).detach().numpy().transpose(0, 2, 3, 1)
+        got = m.apply(
+            {"params": {"kernel": tree["feat_extract_3"]["conv"]["kernel"],
+                        "bias": tree["feat_extract_3"]["conv"]["bias"]}},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

@@ -54,11 +54,27 @@ def _torch_key_to_flax_path(key: str) -> tuple[str, ...]:
     return tuple(merged)
 
 
+# torch modules whose 'weight' is a ConvTranspose2d (in, out, kh, kw) and
+# must flip spatially for flax.nn.ConvTranspose: SFNet's two up convs
+# (network_sfnet_guided_arch feat_extract[3]/[4]).
+_CONV_TRANSPOSE_PATTERNS = (re.compile(r"feat_extract_[34]\b"),)
+
+
+def _is_conv_transpose(path: tuple[str, ...]) -> bool:
+    joined = "/".join(path)
+    return any(p.search(joined) for p in _CONV_TRANSPOSE_PATTERNS)
+
+
 def _convert_leaf(path: tuple[str, ...], arr: np.ndarray):
     """Returns (new_path, new_array)."""
     leaf = path[-1]
     if leaf == "weight":
-        if arr.ndim == 4:  # conv OIHW -> HWIO
+        if arr.ndim == 4:
+            if _is_conv_transpose(path):
+                # ConvTranspose IOHW -> HWIO + spatial flip (verified
+                # equivalent to torch k4/s2/p1 semantics)
+                k = arr.transpose(2, 3, 0, 1)[::-1, ::-1]
+                return path[:-1] + ("kernel",), np.ascontiguousarray(k)
             return path[:-1] + ("kernel",), arr.transpose(2, 3, 1, 0)
         if arr.ndim == 2:  # linear (o,i) -> (i,o)
             return path[:-1] + ("kernel",), arr.T
