@@ -44,3 +44,52 @@ class TestNative:
             crop = f[crops[i][0]:crops[i][0] + 8, crops[i][1]:crops[i][1] + 8]
             np.testing.assert_allclose(got[i], _aug_mode(crop, modes[i]),
                                        atol=1e-6)
+
+
+class TestNativeDecode:
+    @pytest.fixture()
+    def imgs(self, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(9)
+        paths = []
+        for i, ext in enumerate((".png", ".jpg")):
+            img = (rng.random((24, 30, 3)) * 255).astype(np.uint8)
+            p = str(tmp_path / f"img{i}{ext}")
+            cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            paths.append((p, img))
+        return paths
+
+    def test_decode_matches_cv2(self, imgs):
+        import cv2
+
+        if not native.decode_available():
+            pytest.skip("native decode lib unavailable")
+        for p, _ in imgs:
+            got = native.decode_rgb(p)
+            want = cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR),
+                                cv2.COLOR_BGR2RGB)
+            assert got.shape == want.shape
+            if p.endswith(".png"):
+                np.testing.assert_array_equal(got, want)
+            else:  # jpeg decoders may differ by rounding
+                assert np.abs(got.astype(int) - want.astype(int)).mean() < 2
+
+    def test_batch_decode(self, imgs):
+        if not native.decode_available():
+            pytest.skip("native decode lib unavailable")
+        outs = native.decode_batch_rgb([p for p, _ in imgs], n_threads=2)
+        assert len(outs) == 2
+        assert all(o.dtype == np.uint8 and o.ndim == 3 for o in outs)
+
+    def test_16bit_png_normalized(self, tmp_path):
+        import cv2
+
+        if not native.decode_available():
+            pytest.skip("native decode lib unavailable")
+        img16 = (np.random.default_rng(1).random((8, 8, 3)) * 65535).astype(
+            np.uint16)
+        p = str(tmp_path / "deep.png")
+        cv2.imwrite(p, img16)
+        out = native.decode_rgb(p)
+        assert out.dtype == np.uint8 and out.shape == (8, 8, 3)

@@ -30,7 +30,19 @@ cv2.setNumThreads(1)
 
 
 def imread_f32(path: str, bit16: bool = False) -> np.ndarray:
-    """Read an image as HWC RGB float32 in [0,1]."""
+    """Read an image as HWC RGB float32 in [0,1].
+
+    8-bit PNG/JPEG goes through the native libpng/libjpeg decoder
+    (native/tdr_decode.cc, PNG bit-exact vs cv2) with the u8->f32 convert in
+    C; cv2 handles 16-bit and exotic formats."""
+    if not bit16 and path.lower().endswith((".png", ".jpg", ".jpeg")):
+        from textualdegremoval_tpu.data import native as _native
+
+        if _native.decode_available():
+            try:
+                return _native.u8_to_f32(_native.decode_rgb(path))
+            except (IOError, FileNotFoundError):
+                pass  # fall through to cv2 (16-bit png lands here too)
     flag = cv2.IMREAD_UNCHANGED if bit16 else cv2.IMREAD_COLOR
     img = cv2.imread(path, flag)
     if img is None:

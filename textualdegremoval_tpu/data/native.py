@@ -116,3 +116,82 @@ def batch_prepare(images: list[np.ndarray], crops: list[tuple],
                       params.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                       n, n_threads)
     return np.stack(outs)
+
+
+# ---------------------------------------------------------------------------
+# native image decode (libtdr_decode.so: libpng/libjpeg, threaded)
+# ---------------------------------------------------------------------------
+
+_DEC = None
+_DEC_SO = osp.join(_NATIVE_DIR, "libtdr_decode.so")
+
+
+def _load_decode():
+    global _DEC
+    if _DEC is not None:
+        return _DEC
+    if not osp.exists(_DEC_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_DEC_SO)
+    except OSError:
+        return None
+    lib.tdr_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int)]
+    lib.tdr_decode.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_int, ctypes.c_int]
+    lib.tdr_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
+    _DEC = lib
+    return lib
+
+
+def decode_available() -> bool:
+    return _load_decode() is not None
+
+
+def decode_rgb(path: str) -> np.ndarray:
+    """Decode a PNG/JPEG to (H, W, 3) uint8 RGB via the native library."""
+    lib = _load_decode()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.tdr_probe(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        raise FileNotFoundError(path)
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.tdr_decode(path.encode(),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        h.value, w.value)
+    if rc != 0:
+        raise IOError(f"decode failed ({rc}): {path}")
+    return out
+
+
+def decode_batch_rgb(paths: list[str], n_threads: int = 4) -> list[np.ndarray]:
+    """Threaded native decode of a path list -> list of HWC uint8 RGB."""
+    lib = _load_decode()
+    n = len(paths)
+    dims = np.empty((n, 2), np.int32)
+    outs = []
+    for i, p in enumerate(paths):
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        if lib.tdr_probe(p.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+            raise FileNotFoundError(p)
+        dims[i] = (h.value, w.value)
+        outs.append(np.empty((h.value, w.value, 3), np.uint8))
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    dsts = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for o in outs])
+    rc = lib.tdr_decode_batch(
+        cpaths, dsts, dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n, n_threads)
+    if rc != 0:
+        raise IOError(f"batch decode failed ({rc})")
+    return outs
