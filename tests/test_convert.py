@@ -165,3 +165,29 @@ class TestConvTransposeConversion:
                         "bias": tree["feat_extract_3"]["conv"]["bias"]}},
             jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestPromptIRConversion:
+    def test_forward_parity_with_prompts(self):
+        from textualdegremoval_tpu.models.promptir import PromptIR
+        from torch_oracles import OPromptIR
+
+        tm = randomize(OPromptIR(dim=48, num_blocks=(1, 1, 1, 1),
+                                 num_refinement_blocks=1,
+                                 heads=(1, 1, 2, 2)), seed=15)
+        tm.eval()
+        x = torch.randn(1, 3, 32, 32,
+                        generator=torch.Generator().manual_seed(16))
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        fm = PromptIR(dim=48, num_blocks=(1, 1, 1, 1),
+                      num_refinement_blocks=1, heads=(1, 1, 2, 2),
+                      decoder=True)
+        params = {"params": convert_state_dict(tm.state_dict())}
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        init = fm.init(KEY, xj)
+        assert verify_against_init(params["params"], init["params"]) == []
+        got = fm.apply(params, xj)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=3e-4)

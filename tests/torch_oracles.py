@@ -1096,3 +1096,94 @@ class ODRSformer(nn.Module):
             torch.cat([self.up3_2(d3), e2], 1)))
         d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
         return self.output(d1) + x
+
+
+class OPromptGen(nn.Module):
+    def __init__(self, prompt_dim, prompt_len, prompt_size, lin_dim):
+        super().__init__()
+        # reference layout: (1, L, D, S, S)
+        self.prompt_param = nn.Parameter(
+            torch.rand(1, prompt_len, prompt_dim, prompt_size, prompt_size))
+        self.linear_layer = nn.Linear(lin_dim, prompt_len)
+        self.conv3x3 = nn.Conv2d(prompt_dim, prompt_dim, 3, padding=1,
+                                 bias=False)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        emb = x.mean(dim=(-2, -1))
+        wts = F.softmax(self.linear_layer(emb), dim=1)
+        prompt = (wts[:, :, None, None, None] * self.prompt_param).sum(dim=1)
+        prompt = F.interpolate(prompt, (h, w), mode="bilinear")
+        return self.conv3x3(prompt)
+
+
+class OPromptIR(nn.Module):
+    """Tiny PromptIR with decoder prompt blocks (dim must be 48 for the
+    hardcoded prompt dims, matching the reference)."""
+
+    def __init__(self, dim=48, num_blocks=(1, 1, 1, 1),
+                 num_refinement_blocks=1, heads=(1, 1, 2, 2)):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, 3, padding=1, bias=False)
+
+        def seq(d, h, n):
+            return nn.Sequential(*[
+                OTransformerBlock(d, h, 2.66, False, "WithBias")
+                for _ in range(n)])
+
+        self.encoder_level1 = seq(dim, heads[0], num_blocks[0])
+        self.down1_2 = ODownsample(dim)
+        self.encoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+        self.down2_3 = ODownsample(dim * 2)
+        self.encoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+        self.down3_4 = ODownsample(dim * 4)
+        self.latent = seq(dim * 8, heads[3], num_blocks[3])
+
+        self.prompt3 = OPromptGen(320, 5, 16, dim * 8)
+        self.noise_level3 = OTransformerBlock(dim * 8 + 320, heads[2], 2.66,
+                                              False, "WithBias")
+        self.reduce_noise_level3 = nn.Conv2d(dim * 8 + 320, dim * 4, 1,
+                                             bias=False)
+        self.up4_3 = OUpsample(dim * 4)
+        self.reduce_chan_level3 = nn.Conv2d(dim * 2 + dim * 4, dim * 4, 1,
+                                            bias=False)
+        self.decoder_level3 = seq(dim * 4, heads[2], num_blocks[2])
+
+        self.prompt2 = OPromptGen(128, 5, 32, dim * 4)
+        self.noise_level2 = OTransformerBlock(dim * 4 + 128, heads[2], 2.66,
+                                              False, "WithBias")
+        self.reduce_noise_level2 = nn.Conv2d(dim * 4 + 128, dim * 4, 1,
+                                             bias=False)
+        self.up3_2 = OUpsample(dim * 4)
+        self.reduce_chan_level2 = nn.Conv2d(dim * 2 + dim * 2, dim * 2, 1,
+                                            bias=False)
+        self.decoder_level2 = seq(dim * 2, heads[1], num_blocks[1])
+
+        self.prompt1 = OPromptGen(64, 5, 64, dim * 2)
+        self.noise_level1 = OTransformerBlock(dim * 2 + 64, heads[2], 2.66,
+                                              False, "WithBias")
+        self.reduce_noise_level1 = nn.Conv2d(dim * 2 + 64, dim * 2, 1,
+                                             bias=False)
+        self.up2_1 = OUpsample(dim * 2)
+        self.decoder_level1 = seq(dim * 2, heads[0], num_blocks[0])
+        self.refinement = seq(dim * 2, heads[0], num_refinement_blocks)
+        self.output = nn.Conv2d(dim * 2, 3, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        e1 = self.encoder_level1(self.patch_embed.proj(x))
+        e2 = self.encoder_level2(self.down1_2(e1))
+        e3 = self.encoder_level3(self.down2_3(e2))
+        lat = self.latent(self.down3_4(e3))
+        lat = torch.cat([lat, self.prompt3(lat)], 1)
+        lat = self.reduce_noise_level3(self.noise_level3(lat))
+        d3 = self.reduce_chan_level3(torch.cat([self.up4_3(lat), e3], 1))
+        d3 = self.decoder_level3(d3)
+        d3 = torch.cat([d3, self.prompt2(d3)], 1)
+        d3 = self.reduce_noise_level2(self.noise_level2(d3))
+        d2 = self.reduce_chan_level2(torch.cat([self.up3_2(d3), e2], 1))
+        d2 = self.decoder_level2(d2)
+        d2 = torch.cat([d2, self.prompt1(d2)], 1)
+        d2 = self.reduce_noise_level1(self.noise_level1(d2))
+        d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
+        return self.output(self.refinement(d1)) + x

@@ -83,6 +83,9 @@ def _convert_leaf(path: tuple[str, ...], arr: np.ndarray):
     if leaf in ("beta", "gamma") and arr.ndim == 4:
         # NAFNet residual scales (1,C,1,1) -> (1,1,1,C)
         return path, arr.transpose(0, 2, 3, 1)
+    if leaf == "prompt_param" and arr.ndim == 5:
+        # PromptIR prompt bank (1, L, D, S, S) -> (1, L, S, S, D)
+        return path, arr.transpose(0, 1, 3, 4, 2)
     return path, arr
 
 

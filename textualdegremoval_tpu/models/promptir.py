@@ -57,34 +57,19 @@ class PromptGenBlock(nn.Module):
             weights[:, :, None, None, None].astype(self.dtype) *
             prompt_param.astype(self.dtype), axis=1
         )  # (B, S, S, prompt_dim)
-        prompt = jax.image.resize(
-            prompt, (b, h, w, self.prompt_dim), method="bilinear")
+        from textualdegremoval_tpu.ops.resize import bilinear_resize_torch
+
+        prompt = bilinear_resize_torch(prompt, h, w)
         return nn.Conv(self.prompt_dim, (3, 3), padding=1, use_bias=False,
                        dtype=self.dtype, param_dtype=jnp.float32,
                        name="conv3x3")(prompt)
 
 
-class _PromptIRTrunk(nn.Module):
-    """Shared trunk body used by PromptIR and PromptIRRefFusion.
-
-    `warp` (optional pyramid) enables the RefFusion encoder-side injection.
-    """
-
-    inp_channels: int = 3
-    out_channels: int = 3
-    dim: int = 48
-    num_blocks: Sequence[int] = (4, 6, 6, 8)
-    num_refinement_blocks: int = 4
-    heads: Sequence[int] = (1, 2, 4, 8)
-    ffn_expansion_factor: float = 2.66
-    bias: bool = False
-    ln_type: str = "WithBias"
-    decoder: bool = True
-    reffusion_n_blocks: Sequence[int] = (2, 2, 2, 2)
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, inp, warp=None):
+def _promptir_trunk(self, inp, warp=None):
+    """Shared trunk body executed inside PromptIR / PromptIRRefFusion's
+    compact scope — submodules land at top-level names so reference
+    checkpoints key-map mechanically.  `warp` enables RefFusion injection."""
+    if True:
         d = self.dim
         kw = dict(ffn_expansion_factor=self.ffn_expansion_factor,
                   use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype)
@@ -201,11 +186,7 @@ class PromptIR(nn.Module):
     def __call__(self, inp_img):
         b, h0, w0, _ = inp_img.shape
         x = pad_to_multiple(inp_img, 8)
-        out = _PromptIRTrunk(
-            self.inp_channels, self.out_channels, self.dim, self.num_blocks,
-            self.num_refinement_blocks, self.heads,
-            self.ffn_expansion_factor, self.bias, self.ln_type, self.decoder,
-            dtype=self.dtype, name="trunk")(x)
+        out = _promptir_trunk(self, x)
         return out[:, :h0, :w0]
 
 
@@ -246,9 +227,5 @@ class PromptIRRefFusion(nn.Module):
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),
         )
-        out = _PromptIRTrunk(
-            self.inp_channels, self.out_channels, self.dim, self.num_blocks,
-            self.num_refinement_blocks, self.heads,
-            self.ffn_expansion_factor, self.bias, self.ln_type, self.decoder,
-            self.reffusion_n_blocks, dtype=self.dtype, name="trunk")(inp, warp)
+        out = _promptir_trunk(self, inp, warp)
         return out[:, :h0, :w0]

@@ -48,3 +48,31 @@ def pad_to_multiple(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
     if ph == 0 and pw == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
+def bilinear_resize_torch(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Bilinear resize matching torch F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False) for BOTH up- and down-scaling.
+
+    jax.image.resize antialiases on downscale (area-weighted kernel), which
+    diverges from torch; this samples exactly 4 neighbors at half-pixel
+    source coordinates.  NHWC."""
+    b, h, w, c = x.shape
+    if (oh, ow) == (h, w):
+        return x
+
+    def axis_coords(out_len, in_len):
+        pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * (
+            in_len / out_len) - 0.5
+        lo = jnp.clip(jnp.floor(pos), 0, in_len - 1)
+        hi = jnp.clip(lo + 1, 0, in_len - 1)
+        frac = jnp.clip(pos - lo, 0.0, 1.0)
+        return lo.astype(jnp.int32), hi.astype(jnp.int32), frac
+
+    y0, y1, fy = axis_coords(oh, h)
+    x0, x1, fx = axis_coords(ow, w)
+    fy = fy[None, :, None, None].astype(x.dtype)
+    fx = fx[None, None, :, None].astype(x.dtype)
+    top = x[:, y0][:, :, x0] * (1 - fx) + x[:, y0][:, :, x1] * fx
+    bot = x[:, y1][:, :, x0] * (1 - fx) + x[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
