@@ -191,3 +191,44 @@ class TestPromptIRConversion:
         got = fm.apply(params, xj)
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=3e-4)
+
+
+class TestSFNetBlockConversion:
+    def test_sfres_block_with_filters(self):
+        """SFNet's frequency-selection math (Gap/PatchAP/SFconv/dynamic
+        filter incl. BatchNorm) converts numerically."""
+        from textualdegremoval_tpu.models.sfnet import SFResBlock
+        from torch_oracles import OSFResBlock
+
+        ch = 16
+        tm = OSFResBlock(ch, use_filter=True)
+        randomize(tm, seed=17)
+        tm.eval()
+        x = torch.randn(1, ch, 16, 16,
+                        generator=torch.Generator().manual_seed(18))
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        fm = SFResBlock(ch, use_filter=True, use_running_average=True)
+        sd = convert_state_dict(tm.state_dict())
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        variables = fm.init(KEY, xj)
+        # BatchNorm: split converted tree into params vs batch_stats
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(sd)
+        params, stats = {}, {}
+        for k, v in flat.items():
+            if k[-1] in ("running_mean", "running_var"):
+                newk = k[:-1] + ("mean" if k[-1] == "running_mean" else "var",)
+                stats[newk] = v
+            elif k[-1] == "num_batches_tracked":
+                continue
+            else:
+                params[k] = v
+        tree = {"params": tu.unflatten_dict(params),
+                "batch_stats": tu.unflatten_dict(stats)}
+        assert verify_against_init(tree["params"], variables["params"]) == []
+
+        got = fm.apply(tree, xj)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=3e-4)

@@ -1187,3 +1187,122 @@ class OPromptIR(nn.Module):
         d2 = self.reduce_noise_level1(self.noise_level1(d2))
         d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
         return self.output(self.refinement(d1)) + x
+
+
+# ---------------------------------------------------------------------------
+# SFNet block oracles (frequency-selection math)
+# ---------------------------------------------------------------------------
+
+
+class OBasicConvSF(nn.Module):
+    def __init__(self, cin, cout, k, stride=1, relu=True, transpose=False):
+        super().__init__()
+        pad = k // 2
+        layers = []
+        if transpose:
+            layers.append(nn.ConvTranspose2d(cin, cout, k, stride=stride,
+                                             padding=k // 2 - 1))
+        else:
+            layers.append(nn.Conv2d(cin, cout, k, stride=stride, padding=pad))
+        if relu:
+            layers.append(nn.GELU())
+        self.main = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.main(x)
+
+
+class OGap(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.fscale_d = nn.Parameter(torch.zeros(ch))
+        self.fscale_h = nn.Parameter(torch.zeros(ch))
+
+    def forward(self, x):
+        x_d = x.mean(dim=(-2, -1), keepdim=True)
+        x_h = (x - x_d) * (self.fscale_h[None, :, None, None] + 1.0)
+        return x_d * self.fscale_d[None, :, None, None] + x_h
+
+
+class OPatchAP(nn.Module):
+    def __init__(self, ch, patch=2):
+        super().__init__()
+        self.patch_size = patch
+        self.h = nn.Parameter(torch.zeros(ch * patch * patch))
+        self.l = nn.Parameter(torch.zeros(ch * patch * patch))
+
+    def forward(self, x):
+        from einops import rearrange
+
+        p = self.patch_size
+        px = rearrange(x, "b c (p1 w1) (p2 w2) -> b (c p1 p2) w1 w2",
+                       p1=p, p2=p)
+        low = px.mean(dim=(-2, -1), keepdim=True)
+        high = (px - low) * self.h[None, :, None, None]
+        out = high + low * self.l[None, :, None, None]
+        return rearrange(out, "b (c p1 p2) w1 w2 -> b c (p1 w1) (p2 w2)",
+                         p1=p, p2=p)
+
+
+class OSFconv(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        d = max(ch // 2, 32)
+        self.fc = nn.Conv2d(ch, d, 1)
+        self.fcs = nn.ModuleList([nn.Conv2d(d, ch, 1), nn.Conv2d(d, ch, 1)])
+        self.out = nn.Conv2d(ch, ch, 1)
+
+    def forward(self, low, high):
+        z = self.fc((low + high).mean(dim=(-2, -1), keepdim=True))
+        high_att = self.fcs[0](z)
+        low_att = self.fcs[1](z)
+        att = torch.softmax(torch.stack([high_att, low_att], dim=1), dim=1)
+        return self.out(high * att[:, 0] + low * att[:, 1])
+
+
+class ODynamicFilter(nn.Module):
+    def __init__(self, ch, k=3, group=8):
+        super().__init__()
+        import math
+
+        self.kernel_size = k
+        self.group = math.gcd(group, ch)
+        self.conv = nn.Conv2d(ch, self.group * k * k, 1, bias=False)
+        self.bn = nn.BatchNorm2d(self.group * k * k)
+        self.modulate = OSFconv(ch)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        k, g = self.kernel_size, self.group
+        filt = self.bn(self.conv(x.mean(dim=(-2, -1), keepdim=True)))
+        filt = filt.reshape(n, 1, 1, g, k * k)
+        filt = torch.softmax(filt, dim=-1)
+        xp = F.pad(x, (k // 2,) * 4, mode="reflect")
+        patches = F.unfold(xp, kernel_size=k)  # (n, c*k*k, h*w)
+        patches = patches.reshape(n, g, c // g, k * k, h * w)
+        # reorder to match the NHWC kernel application
+        low = (patches * filt.reshape(n, g, 1, k * k, 1)).sum(dim=3)
+        low = low.reshape(n, c, h, w)
+        return self.modulate(low, x - low)
+
+
+class OSFResBlock(nn.Module):
+    def __init__(self, ch, use_filter=False):
+        super().__init__()
+        self.conv1 = OBasicConvSF(ch, ch, 3, relu=True)
+        self.conv2 = OBasicConvSF(ch, ch, 3, relu=False)
+        self.use_filter = use_filter
+        if use_filter:
+            self.dyna = ODynamicFilter(ch // 2, 3)
+            self.dyna_2 = ODynamicFilter(ch // 2, 5)
+        self.localap = OPatchAP(ch // 2, 2)
+        self.global_ap = OGap(ch // 2)
+
+    def forward(self, x):
+        out = self.conv1(x)
+        if self.use_filter:
+            k3, k5 = out.chunk(2, dim=1)
+            out = torch.cat([self.dyna(k3), self.dyna_2(k5)], dim=1)
+        nl, loc = out.chunk(2, dim=1)
+        out = torch.cat([self.global_ap(nl), self.localap(loc)], dim=1)
+        return self.conv2(out) + x

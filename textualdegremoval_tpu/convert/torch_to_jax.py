@@ -34,6 +34,9 @@ _REWRITES = [
     (re.compile(r"\.sca\.1\."), ".sca.conv."),  # NAFNet SCA sequential
     (re.compile(r"\.ups\.(\d+)\.0\."), r".ups.\1."),  # NAFNet up conv
     (re.compile(r"^ups\.(\d+)\.0\."), r"ups.\1."),
+    # SFNet BasicConv Sequential (conv[, GELU]) and SCM InstanceNorm
+    (re.compile(r"\.main\.4\.(weight|bias)$"), r".norm.\1"),
+    (re.compile(r"\.main\.0\.(weight|bias)$"), r".conv.\1"),
 ]
 
 # leaves that are parameters of our hand-rolled modules (keep name 'weight')
@@ -78,7 +81,10 @@ def _convert_leaf(path: tuple[str, ...], arr: np.ndarray):
             return path[:-1] + ("kernel",), arr.transpose(2, 3, 1, 0)
         if arr.ndim == 2:  # linear (o,i) -> (i,o)
             return path[:-1] + ("kernel",), arr.T
-        # 1-D weight: layer-norm scale of our custom modules
+        # 1-D weight: flax GroupNorm/BatchNorm ('norm'/'bn' modules) call it
+        # 'scale'; our hand-rolled layer-norms keep 'weight'
+        if len(path) >= 2 and path[-2] in ("norm", "bn"):
+            return path[:-1] + ("scale",), arr
         return path, arr
     if leaf in ("beta", "gamma") and arr.ndim == 4:
         # NAFNet residual scales (1,C,1,1) -> (1,1,1,C)
