@@ -79,6 +79,11 @@ def run(stage: str, argv=None):
     ap.add_argument("--save_steps", type=int, default=5000)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--validation_samples", action="store_true",
+                    help="at each save, DDIM-sample a reference from the "
+                         "first batch image and save input|sample JPGs "
+                         "(reference save_steps side-by-side grids)")
+    ap.add_argument("--validation_steps", type=int, default=100)
     args = ap.parse_args(argv)
 
     logger = get_root_logger()
@@ -120,7 +125,34 @@ def run(stage: str, argv=None):
             ckptr.save(os.path.join(os.path.abspath(args.output_dir),
                                     f"{stage}_params_{step + 1}"),
                        jax.device_get(params), force=True)
+            if args.validation_samples:
+                _save_sample_grid(mods, params, batch, args, stage, step + 1,
+                                  srng)
     return params
+
+
+def _save_sample_grid(mods, params, batch, args, stage, step, rng):
+    """Side-by-side (input | generated reference) JPG at save time
+    (reference main_train_i2t_mapping.py:763-774 sample grids)."""
+    from textualdegremoval_tpu.diffusion.pipeline import generate_reference
+    from textualdegremoval_tpu.utils.image import tensor2img, imwrite
+
+    uncond_ids = tokenize("")
+    img = generate_reference(
+        mods, params, batch["pixel_values_clip"][:1],
+        batch["input_ids"][:1], jnp.asarray(uncond_ids),
+        batch["inj_index"][:1], rng,
+        latent_hw=(args.resolution // 8, args.resolution // 8),
+        num_inference_steps=args.validation_steps,
+        use_clean_mapper=(stage == "tr"))
+    inp = tensor2img((np.asarray(batch["pixel_values"][:1]) + 1) / 2)
+    gen = tensor2img((np.asarray(img) + 1) / 2)
+    if gen.shape[0] != inp.shape[0]:
+        import cv2
+
+        gen = cv2.resize(gen, (inp.shape[1], inp.shape[0]))
+    imwrite(np.concatenate([inp, gen], axis=1),
+            os.path.join(args.output_dir, f"{stage}_sample_{step:06d}.jpg"))
 
 
 def main(argv=None):
