@@ -232,3 +232,32 @@ class TestSFNetBlockConversion:
         got = fm.apply(tree, xj)
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=3e-4)
+
+
+class TestNAFNetDynamicConversion:
+    def test_forward_parity(self):
+        from textualdegremoval_tpu.models.nafnet_dynamic import (
+            NAFNetDynamicFusion,
+        )
+        from torch_oracles import ONAFNetDynamic
+
+        tm = randomize(ONAFNetDynamic(width=8, middle_blk_num=1,
+                                      enc_blk_nums=(1, 1),
+                                      dec_blk_nums=(1, 1)), seed=19)
+        tm.eval()
+        g = torch.Generator().manual_seed(20)
+        x = torch.randn(1, 3, 16, 16, generator=g)
+        k_v = torch.randn(1, 10, 1024, generator=g)
+        with torch.no_grad():
+            want = tm(x, k_v).numpy()
+
+        fm = NAFNetDynamicFusion(width=8, middle_blk_num=1,
+                                 enc_blk_nums=(1, 1), dec_blk_nums=(1, 1))
+        params = {"params": convert_state_dict(tm.state_dict())}
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        kj = jnp.asarray(k_v.numpy())
+        init = fm.init(KEY, xj, kj)
+        assert verify_against_init(params["params"], init["params"]) == []
+        got = fm.apply(params, xj, kj)
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)

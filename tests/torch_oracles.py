@@ -1306,3 +1306,109 @@ class OSFResBlock(nn.Module):
         nl, loc = out.chunk(2, dim=1)
         out = torch.cat([self.global_ap(nl), self.localap(loc)], dim=1)
         return self.conv2(out) + x
+
+
+class OKVAffine(nn.Module):
+    """DiffIR conditioning head: Sequential(Linear(num_words*1024 -> 2*dim))
+    named `kernel` (reference SimpleGate_DynamicFusion / NAFBlock kernel)."""
+
+    def __init__(self, dim, num_words=10):
+        super().__init__()
+        self.kernel = nn.Sequential(
+            nn.Linear(num_words * 1024, dim * 2, bias=False))
+
+    def forward(self, k_v, c2):
+        out = self.kernel(torch.flatten(k_v, start_dim=1)).view(-1, c2, 1, 1)
+        return out.chunk(2, dim=1)
+
+
+class ONAFBlockDynamic(nn.Module):
+    def __init__(self, c, num_words=10):
+        super().__init__()
+        dw = c * 2
+        # names match the reference: block-entry affine is `kernel`,
+        # gate affines live on sg1/sg2
+        self.kernel = nn.Sequential(nn.Linear(num_words * 1024, c * 2,
+                                              bias=False))
+        self.conv1 = nn.Conv2d(c, dw, 1)
+        self.conv2 = nn.Conv2d(dw, dw, 3, padding=1, groups=dw)
+        self.conv3 = nn.Conv2d(dw // 2, c, 1)
+        self.sca = nn.Sequential(nn.AdaptiveAvgPool2d(1),
+                                 nn.Conv2d(dw // 2, dw // 2, 1))
+        self.sg1 = OKVAffine(dw, num_words)
+        self.sg2 = OKVAffine(2 * c, num_words)
+        self.conv4 = nn.Conv2d(c, 2 * c, 1)
+        self.conv5 = nn.Conv2d(c, c, 1)
+        self.norm1 = OLayerNorm2d(c)
+        self.norm2 = OLayerNorm2d(c)
+        self.beta = nn.Parameter(torch.zeros(1, c, 1, 1))
+        self.gamma = nn.Parameter(torch.zeros(1, c, 1, 1))
+
+    def forward(self, inp, k_v):
+        b, c, h, w = inp.shape
+        kv = self.kernel(torch.flatten(k_v, start_dim=1)).view(-1, c * 2, 1, 1)
+        k1, k2 = kv.chunk(2, dim=1)
+        x = inp * k1 + k2
+        x = self.norm1(x)
+        x = self.conv2(self.conv1(x))
+        g1, g2 = self.sg1(k_v, x.size(1) * 2 // 2 * 2)
+        x = x * g1 + g2
+        a, bb = x.chunk(2, dim=1)
+        x = a * bb
+        x = x * self.sca(x)
+        x = self.conv3(x)
+        y = inp + x * self.beta
+        x = self.conv4(self.norm2(y))
+        g1, g2 = self.sg2(k_v, x.size(1) * 2 // 2 * 2)
+        x = x * g1 + g2
+        a, bb = x.chunk(2, dim=1)
+        x = a * bb
+        x = self.conv5(x)
+        return y + x * self.gamma
+
+
+class ONAFNetDynamic(nn.Module):
+    def __init__(self, width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                 dec_blk_nums=(1, 1), num_words=10):
+        super().__init__()
+        self.intro = nn.Conv2d(3, width, 3, padding=1)
+        self.ending = nn.Conv2d(width, 3, 3, padding=1)
+        self.encoders = nn.ModuleList()
+        self.downs = nn.ModuleList()
+        self.decoders = nn.ModuleList()
+        self.ups = nn.ModuleList()
+        chan = width
+
+        def dyn_layer(c, n):
+            m = nn.Module()
+            m.layers = nn.ModuleList(
+                [ONAFBlockDynamic(c, num_words) for _ in range(n)])
+            return m
+
+        for n in enc_blk_nums:
+            self.encoders.append(dyn_layer(chan, n))
+            self.downs.append(nn.Conv2d(chan, 2 * chan, 2, 2))
+            chan *= 2
+        self.middle_blks = dyn_layer(chan, middle_blk_num)
+        for n in dec_blk_nums:
+            self.ups.append(nn.Sequential(
+                nn.Conv2d(chan, chan * 2, 1, bias=False), nn.PixelShuffle(2)))
+            chan //= 2
+            self.decoders.append(dyn_layer(chan, n))
+
+    def forward(self, x, k_v):
+        inp = x
+        x = self.intro(x)
+        encs = []
+        for enc, down in zip(self.encoders, self.downs):
+            for blk in enc.layers:
+                x = blk(x, k_v)
+            encs.append(x)
+            x = down(x)
+        for blk in self.middle_blks.layers:
+            x = blk(x, k_v)
+        for dec, up, skip in zip(self.decoders, self.ups, encs[::-1]):
+            x = up(x) + skip
+            for blk in dec.layers:
+                x = blk(x, k_v)
+        return self.ending(x) + inp

@@ -37,6 +37,15 @@ _REWRITES = [
     # SFNet BasicConv Sequential (conv[, GELU]) and SCM InstanceNorm
     (re.compile(r"\.main\.4\.(weight|bias)$"), r".norm.\1"),
     (re.compile(r"\.main\.0\.(weight|bias)$"), r".conv.\1"),
+    # DiffIR NAFNetDynamicFusion: strip the DynamicBasicLayer wrapper
+    # (scoped to lowercase encoders/decoders/middle_blks so SFNet's
+    # EBlock `layers` sequentials are untouched) and map the
+    # Sequential(Linear) conditioning heads (gate heads first, then the
+    # block-entry `kernel` -> our affine_in)
+    (re.compile(r"\b(encoders|decoders)\.(\d+)\.layers\."), r"\1.\2."),
+    (re.compile(r"\bmiddle_blks\.layers\."), "middle_blks."),
+    (re.compile(r"\.sg([12])\.kernel\.0\.weight$"), r".sg\1.kernel.weight"),
+    (re.compile(r"\.kernel\.0\.weight$"), r".affine_in.kernel.weight"),
 ]
 
 # leaves that are parameters of our hand-rolled modules (keep name 'weight')
