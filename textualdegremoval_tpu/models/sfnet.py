@@ -238,18 +238,11 @@ class SCM(nn.Module):
                             param_dtype=jnp.float32, name="norm")(x)
 
 
-class _SFNetBody(nn.Module):
-    """Shared MIMO trunk; `warp` enables RefFusion injection."""
-
-    num_res: int = 16
-    base_channel: int = 32
-    tlc_base: int | None = None
-    reffusion_n_blocks: Sequence[int] = (1, 1, 1)
-    dtype: jnp.dtype = jnp.float32
-    use_running_average: bool = True
-
-    @nn.compact
-    def __call__(self, x, warp=None):
+def _sfnet_body(self, x, warp=None):
+    """Shared MIMO trunk executed in the caller's compact scope (top-level
+    parameter names for mechanical checkpoint mapping); `warp` enables
+    RefFusion injection."""
+    if True:
         bc = self.base_channel
         kw = dict(tlc_base=self.tlc_base, dtype=self.dtype,
                   use_running_average=self.use_running_average)
@@ -330,10 +323,7 @@ class SFNet(nn.Module):
     def __call__(self, x):
         b, h0, w0, _ = x.shape
         xp = pad_to_multiple(x, 4)
-        outs = _SFNetBody(self.num_res, self.base_channel, self.tlc_base,
-                          dtype=self.dtype,
-                          use_running_average=self.use_running_average,
-                          name="body")(xp)
+        outs = _sfnet_body(self, xp)
         return [
             outs[0][:, : h0 // 4, : w0 // 4],
             outs[1][:, : h0 // 2, : w0 // 2],
@@ -372,10 +362,7 @@ class SFNetRefFusion(nn.Module):
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),
         )
-        outs = _SFNetBody(self.num_res, self.base_channel, self.tlc_base,
-                          self.reffusion_n_blocks, dtype=self.dtype,
-                          use_running_average=self.use_running_average,
-                          name="body")(inp, warp)
+        outs = _sfnet_body(self, inp, warp)
         return [
             outs[0][:, : h0 // 4, : w0 // 4],
             outs[1][:, : h0 // 2, : w0 // 2],
