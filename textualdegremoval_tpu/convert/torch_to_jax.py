@@ -34,9 +34,10 @@ _REWRITES = [
     (re.compile(r"\.sca\.1\."), ".sca.conv."),  # NAFNet SCA sequential
     (re.compile(r"\.ups\.(\d+)\.0\."), r".ups.\1."),  # NAFNet up conv
     (re.compile(r"^ups\.(\d+)\.0\."), r"ups.\1."),
-    # SFNet BasicConv Sequential (conv[, GELU]) and SCM InstanceNorm
+    # SFNet BasicConv Sequential (conv[, GELU]), SCM InstanceNorm, FAM merge
     (re.compile(r"\.main\.4\.(weight|bias)$"), r".norm.\1"),
     (re.compile(r"\.main\.0\.(weight|bias)$"), r".conv.\1"),
+    (re.compile(r"\.merge\."), "."),
     # DiffIR NAFNetDynamicFusion: strip the DynamicBasicLayer wrapper
     # (scoped to lowercase encoders/decoders/middle_blks so SFNet's
     # EBlock `layers` sequentials are untouched) and map the
