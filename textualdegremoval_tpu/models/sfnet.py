@@ -238,6 +238,28 @@ class SCM(nn.Module):
                             param_dtype=jnp.float32, name="norm")(x)
 
 
+class EBlockResFusion(nn.Module):
+    """Fusion stage: blocks over cat([x, warp]) with zero-init alpha gate,
+    sliced back (reference EBlockResFusion, intended semantics)."""
+
+    dim: int
+    num_res: int
+    tlc_base: int | None = None
+    dtype: jnp.dtype = jnp.float32
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, cat):
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        out = cat
+        n = max(self.num_res, 1)
+        for i in range(n):
+            out = SFResBlock(self.dim, i == n - 1, self.tlc_base, self.dtype,
+                             self.use_running_average,
+                             name=f"layers_{i}")(out)
+        return out * alpha.astype(cat.dtype) + cat
+
+
 def _sfnet_body(self, x, warp=None):
     """Shared MIMO trunk executed in the caller's compact scope (top-level
     parameter names for mechanical checkpoint mapping); `warp` enables
@@ -255,12 +277,7 @@ def _sfnet_body(self, x, warp=None):
         def fuse(z, warp_l, n, name):
             cat = jnp.concatenate([z, warp_l.astype(z.dtype)], axis=-1)
             dim2 = cat.shape[-1]
-            alpha = self.param(f"{name}_alpha", nn.initializers.zeros, (1,))
-            out = cat
-            for i in range(max(n, 1)):
-                out = SFResBlock(dim2, i == max(n, 1) - 1, **kw,
-                                 name=f"{name}_layers_{i}")(out)
-            out = out * alpha.astype(z.dtype) + cat
+            out = EBlockResFusion(dim2, n, **kw, name=name)(cat)
             return out[..., : dim2 // 2]
 
         outputs = []
