@@ -261,3 +261,45 @@ class TestNAFNetDynamicConversion:
         got = fm.apply(params, xj, kj)
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)
+
+
+class TestSFNetFullConversion:
+    def test_full_net_forward_parity(self):
+        from textualdegremoval_tpu.models.sfnet import SFNetRefFusion
+        from torch_oracles import OSFNetRefFusion
+
+        kw = dict(num_res=1, base_channel=8, nf=8, ext_n_blocks=(1, 1, 1),
+                  reffusion_n_blocks=(1, 1, 1), lr_block_size=4)
+        tm = OSFNetRefFusion(**kw)
+        randomize(tm, seed=21)
+        tm.eval()
+        g = torch.Generator().manual_seed(22)
+        lq = torch.randn(1, 3, 32, 32, generator=g)
+        ref = torch.randn(1, 3, 32, 32, generator=g)
+        with torch.no_grad():
+            want = [o.numpy() for o in tm(lq, ref)]
+
+        fm = SFNetRefFusion(**kw, use_running_average=True)
+        sd = convert_state_dict(tm.state_dict())
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(sd)
+        params, stats = {}, {}
+        for k, v in flat.items():
+            if k[-1] in ("running_mean", "running_var"):
+                stats[k[:-1] + ("mean" if k[-1] == "running_mean"
+                                else "var",)] = v
+            elif k[-1] == "num_batches_tracked":
+                continue
+            else:
+                params[k] = v
+        tree = {"params": tu.unflatten_dict(params),
+                "batch_stats": tu.unflatten_dict(stats)}
+        lq_j = jnp.asarray(lq.numpy().transpose(0, 2, 3, 1))
+        ref_j = jnp.asarray(ref.numpy().transpose(0, 2, 3, 1))
+        variables = fm.init(KEY, lq_j, ref_j)
+        assert verify_against_init(tree["params"], variables["params"]) == []
+
+        got = fm.apply(tree, lq_j, ref_j)
+        for g_l, w_l in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g_l).transpose(0, 3, 1, 2), w_l, atol=3e-4)

@@ -1412,3 +1412,135 @@ class ONAFNetDynamic(nn.Module):
             for blk in dec.layers:
                 x = blk(x, k_v)
         return self.ending(x) + inp
+
+
+class OEBlockResFusion(nn.Module):
+    def __init__(self, ch, num_res):
+        super().__init__()
+        n = max(num_res, 1)
+        layers = [OSFResBlock(ch, i == n - 1) for i in range(n)]
+        self.layers = nn.Sequential(*layers)
+        self.alpha = nn.Parameter(torch.zeros(1))
+
+    def forward(self, cat):
+        return self.layers(cat) * self.alpha + cat
+
+
+class OEBlock(nn.Module):
+    def __init__(self, ch, num_res):
+        super().__init__()
+        layers = [OSFResBlock(ch, i == num_res - 1) for i in range(num_res)]
+        self.layers = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+class OSCM(nn.Module):
+    def __init__(self, p):
+        super().__init__()
+        import math
+        self.main = nn.Sequential(
+            OBasicConvSF(3, p // 4, 3, relu=True),
+            OBasicConvSF(p // 4, p // 2, 1, relu=True),
+            OBasicConvSF(p // 2, p // 2, 3, relu=True),
+            OBasicConvSF(p // 2, p, 1, relu=False),
+            nn.GroupNorm(p, p, eps=1e-5),  # InstanceNorm equivalent
+        )
+
+    def forward(self, x):
+        return self.main(x)
+
+
+class OFAM(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.merge = OBasicConvSF(ch * 2, ch, 3, relu=False)
+
+    def forward(self, x1, x2):
+        return self.merge(torch.cat([x1, x2], dim=1))
+
+
+class OSFNetRefFusion(nn.Module):
+    def __init__(self, num_res=1, base_channel=8, nf=8,
+                 ext_n_blocks=(1, 1, 1), reffusion_n_blocks=(1, 1, 1),
+                 lr_block_size=4):
+        super().__init__()
+        self.lr_block_size = lr_block_size
+        bc = base_channel
+        self.masa_enc = OMASAEncoder(3, nf, ext_n_blocks, 3)
+        self.Encoder = nn.ModuleList([
+            OEBlock(bc, num_res), OEBlock(bc * 2, num_res),
+            OEBlock(bc * 4, num_res)])
+        self.masa_blk_enc_level1 = OEBlockResFusion(bc * 2,
+                                                    reffusion_n_blocks[0])
+        self.masa_blk_enc_level2 = OEBlockResFusion(bc * 4,
+                                                    reffusion_n_blocks[1])
+        self.masa_blk_enc_level3 = OEBlockResFusion(bc * 8,
+                                                    reffusion_n_blocks[2])
+        self.feat_extract = nn.ModuleList([
+            OBasicConvSF(3, bc, 3, relu=True),
+            OBasicConvSF(bc, bc * 2, 3, stride=2, relu=True),
+            OBasicConvSF(bc * 2, bc * 4, 3, stride=2, relu=True),
+            OBasicConvSF(bc * 4, bc * 2, 4, stride=2, relu=True,
+                         transpose=True),
+            OBasicConvSF(bc * 2, bc, 4, stride=2, relu=True, transpose=True),
+            OBasicConvSF(bc, 3, 3, relu=False)])
+        self.Decoder = nn.ModuleList([
+            OEBlock(bc * 4, num_res), OEBlock(bc * 2, num_res),
+            OEBlock(bc, num_res)])
+        self.Convs = nn.ModuleList([
+            OBasicConvSF(bc * 4, bc * 2, 1, relu=True),
+            OBasicConvSF(bc * 2, bc, 1, relu=True)])
+        self.ConvsOut = nn.ModuleList([
+            OBasicConvSF(bc * 4, 3, 3, relu=False),
+            OBasicConvSF(bc * 2, 3, 3, relu=False)])
+        self.FAM1 = OFAM(bc * 4)
+        self.SCM1 = OSCM(bc * 4)
+        self.FAM2 = OFAM(bc * 2)
+        self.SCM2 = OSCM(bc * 2)
+
+    def forward(self, x, ref):
+        feat_lq = self.masa_enc(x)
+        feat_ref = self.masa_enc(ref)
+        ky = feat_lq[-1].shape[-2] // max(
+            feat_lq[-1].shape[-2] // self.lr_block_size, 1)
+        cy = (ky + 2) // 2
+        dil = [d for d in (1, 2, 3) if cy - d >= 0 and cy + d < ky + 2] or [1]
+        warp = masa_oracle(feat_lq[-1], feat_ref, self.lr_block_size,
+                           dilations=dil)
+
+        def fuse(z, w, blk):
+            cat = torch.cat([z, w], dim=1)
+            return blk(cat)[:, : cat.size(1) // 2]
+
+        x_2 = x[:, :, ::2, ::2]  # F.interpolate(0.5) default nearest
+        x_4 = x_2[:, :, ::2, ::2]
+        z2 = self.SCM2(x_2)
+        z4 = self.SCM1(x_4)
+        outs = []
+        x_ = self.feat_extract[0](x)
+        x_ = fuse(x_, warp[0], self.masa_blk_enc_level1)
+        res1 = self.Encoder[0](x_)
+        z = self.feat_extract[1](res1)
+        z = fuse(z, warp[1], self.masa_blk_enc_level2)
+        z = self.FAM2(z, z2)
+        res2 = self.Encoder[1](z)
+        z = self.feat_extract[2](res2)
+        z = fuse(z, warp[2], self.masa_blk_enc_level3)
+        z = self.FAM1(z, z4)
+        z = self.Encoder[2](z)
+        z = self.Decoder[0](z)
+        z_ = self.ConvsOut[0](z)
+        z = self.feat_extract[3](z)
+        outs.append(z_ + x_4)
+        z = self.Convs[0](torch.cat([z, res2], dim=1))
+        z = self.Decoder[1](z)
+        z_ = self.ConvsOut[1](z)
+        z = self.feat_extract[4](z)
+        outs.append(z_ + x_2)
+        z = self.Convs[1](torch.cat([z, res1], dim=1))
+        z = self.Decoder[2](z)
+        z = self.feat_extract[5](z)
+        outs.append(z + x)
+        return outs

@@ -269,8 +269,10 @@ def _sfnet_body(self, x, warp=None):
         kw = dict(tlc_base=self.tlc_base, dtype=self.dtype,
                   use_running_average=self.use_running_average)
         b, H, W, _ = x.shape
-        x_2 = jax.image.resize(x, (b, H // 2, W // 2, 3), "bilinear")
-        x_4 = jax.image.resize(x_2, (b, H // 4, W // 4, 3), "bilinear")
+        # reference F.interpolate(scale_factor=0.5) default mode is NEAREST,
+        # which at exactly 0.5 picks the even-index pixels
+        x_2 = x[:, ::2, ::2]
+        x_4 = x_2[:, ::2, ::2]
         z2 = SCM(bc * 2, self.dtype, name="SCM2")(x_2)
         z4 = SCM(bc * 4, self.dtype, name="SCM1")(x_4)
 
