@@ -1,0 +1,17 @@
+"""create_model trainer registry (reference models/__init__ surface)."""
+
+import pytest
+
+from textualdegremoval_tpu.train.model_registry import create_model
+
+
+def test_known_model_types_resolve():
+    run = create_model({"model_type": "RefGuidedImageCleanModel"})
+    assert callable(run)
+    mod = create_model({"model_type": "DiffIRRefGuidedImageCleanModel"})
+    assert hasattr(mod, "make_diffir_train_step")
+
+
+def test_unknown_model_type_raises():
+    with pytest.raises(KeyError):
+        create_model({"model_type": "NopeModel"})
