@@ -150,3 +150,26 @@ def verify_against_init(converted: dict, init_params: dict) -> list[str]:
                 f"model {b[k].shape}"
             )
     return msgs
+
+
+def split_batch_stats(tree: dict) -> dict:
+    """Split a converted tree into Flax variable collections.
+
+    BatchNorm running statistics live in the torch state dict alongside
+    parameters; Flax keeps them in a separate ``batch_stats`` collection.
+    Returns ``{'params': ..., 'batch_stats': ...}`` (``batch_stats`` omitted
+    when the net has none).  ``num_batches_tracked`` counters are dropped.
+    """
+    flat = traverse_util.flatten_dict(tree)
+    params, stats = {}, {}
+    for k, v in flat.items():
+        if k[-1] in ("running_mean", "running_var"):
+            stats[k[:-1] + ("mean" if k[-1] == "running_mean" else "var",)] = v
+        elif k[-1] == "num_batches_tracked":
+            continue
+        else:
+            params[k] = v
+    out = {"params": traverse_util.unflatten_dict(params)}
+    if stats:
+        out["batch_stats"] = traverse_util.unflatten_dict(stats)
+    return out
