@@ -1,0 +1,100 @@
+"""Multi-host bootstrap: rendezvous resolution + a real 2-process DP step.
+
+Covers the reference's `utils/utils_dist.py:10-58` surface: env-var
+('pytorch') and slurm rendezvous, rank-0 gating, and an actual 2-process
+data-parallel train step on CPU (gloo collectives) — the multi-process smoke
+the reference only ever exercised via real GPU launches.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from textualdegremoval_tpu.parallel.bootstrap import resolve_rendezvous
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestRendezvousResolution:
+    def _clean_env(self, monkeypatch):
+        for k in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+                  "RANK", "WORLD_SIZE", "MASTER_ADDR", "MASTER_PORT",
+                  "SLURM_PROCID", "SLURM_NTASKS", "SLURM_NODELIST",
+                  "SLURM_STEP_NODELIST"):
+            monkeypatch.delenv(k, raising=False)
+
+    def test_single_process_is_noop(self, monkeypatch):
+        self._clean_env(monkeypatch)
+        assert resolve_rendezvous() is None
+
+    def test_torch_launcher_env(self, monkeypatch):
+        self._clean_env(monkeypatch)
+        monkeypatch.setenv("RANK", "3")
+        monkeypatch.setenv("WORLD_SIZE", "4")
+        monkeypatch.setenv("MASTER_ADDR", "10.0.0.1")
+        monkeypatch.setenv("MASTER_PORT", "12345")
+        assert resolve_rendezvous() == ("10.0.0.1:12345", 4, 3)
+
+    def test_jax_style_env(self, monkeypatch):
+        self._clean_env(monkeypatch)
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "host:1234")
+        monkeypatch.setenv("NUM_PROCESSES", "8")
+        monkeypatch.setenv("PROCESS_ID", "5")
+        assert resolve_rendezvous() == ("host:1234", 8, 5)
+
+    def test_slurm_env_single_node_name(self, monkeypatch):
+        self._clean_env(monkeypatch)
+        monkeypatch.setenv("SLURM_PROCID", "1")
+        monkeypatch.setenv("SLURM_NTASKS", "2")
+        monkeypatch.setenv("SLURM_NODELIST", "worker0")
+        # scontrol absent here -> falls back to the bare hostname
+        addr, n, pid = resolve_rendezvous(port=29501)
+        assert addr == "worker0:29501" and (n, pid) == (2, 1)
+
+    def test_slurm_ntasks_1_is_noop(self, monkeypatch):
+        self._clean_env(monkeypatch)
+        monkeypatch.setenv("SLURM_PROCID", "0")
+        monkeypatch.setenv("SLURM_NTASKS", "1")
+        monkeypatch.setenv("SLURM_NODELIST", "worker0")
+        assert resolve_rendezvous() is None
+
+
+@pytest.mark.slow
+def test_two_process_dp_step():
+    """Spawn 2 CPU processes with torch-launcher env; each runs one globally
+    data-parallel train step through the real trainer."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+        env.update({
+            "RANK": str(rank),
+            "WORLD_SIZE": "2",
+            "MASTER_ADDR": "127.0.0.1",
+            "MASTER_PORT": str(port),
+            "JAX_PLATFORMS": "cpu",
+            # REPLACE PYTHONPATH: an inherited sitecustomize that registers a
+            # TPU PJRT plugin (e.g. an axon relay) breaks multi-process CPU
+            # init — the plugin grabs backend state before
+            # jax.distributed.initialize runs.
+            "PYTHONPATH": REPO,
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "dist_worker.py")],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    losses = [line.split()[1] for out in outs for line in out.splitlines()
+              if line.startswith("LOSS ")]
+    assert len(losses) == 2 and losses[0] == losses[1], losses

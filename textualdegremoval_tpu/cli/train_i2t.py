@@ -63,6 +63,11 @@ def make_batch(paths, indices, size, input_ids, hq_paths=None):
 
 
 def run(stage: str, argv=None):
+    # multi-host rendezvous (the reference's accelerate launcher analogue);
+    # no-op when single-process
+    from textualdegremoval_tpu.parallel.bootstrap import init_distributed
+    init_distributed()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--train_data_dir", required=True)
     ap.add_argument("--train_data_dir_hq", default=None,

@@ -85,6 +85,12 @@ def main(argv=None):
                     help="override total_iter (smoke runs)")
     args = ap.parse_args(argv)
 
+    # multi-host rendezvous (env/slurm), before any backend use; no-op for
+    # single-process launches (the reference's init_dist call site,
+    # main_train_restoration_with_ref_input.py:23-57)
+    from textualdegremoval_tpu.parallel.bootstrap import init_distributed
+    init_distributed()
+
     opt = parse(args.opt, is_train=True)
     logger = get_root_logger(
         log_file=os.path.join(opt["path"]["log"], "train.log"))

@@ -1,10 +1,11 @@
-"""FID (Frechet Inception Distance) — statistics math + pluggable feature
-extractor.
+"""FID (Frechet Inception Distance) — statistics math + InceptionV3 pool3
+feature extraction.
 
 The reference's FID is dead code (imports a missing InceptionV3 module,
-SURVEY.md §2.5.9).  Here the Frechet distance itself is implemented and
-tested; the feature extractor is injected (any callable images -> (N, D)
-features — e.g. a Flax InceptionV3 or a CLIP tower), so FID actually runs.
+SURVEY.md §2.5.9).  Here both halves work: the Frechet distance math below,
+and a Flax InceptionV3 pool3 extractor (metrics/inception.py) used by
+`calculate_fid_from_images`.  A different extractor (e.g. a CLIP tower) can
+be substituted by computing features directly and calling `calculate_fid`.
 """
 
 from __future__ import annotations
@@ -37,3 +38,33 @@ def calculate_fid(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     mu1, s1 = compute_statistics(feats_a)
     mu2, s2 = compute_statistics(feats_b)
     return frechet_distance(mu1, s1, mu2, s2)
+
+
+def calculate_fid_from_images(images_a, images_b, variables=None,
+                              weights_path: str | None = None,
+                              batch_size: int = 32) -> float:
+    """FID between two image sets (NHWC RGB in [0, 1]) using the Flax
+    InceptionV3 pool3 extractor.
+
+    `variables` (a Flax tree) or `weights_path` (a torch InceptionV3 state
+    dict, torchvision/pytorch-fid naming) select the weights; without either
+    the net is seed-0 random-init — the pipeline runs everywhere, but scores
+    are only comparable across runs sharing the same weights.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from textualdegremoval_tpu.metrics.inception import (
+        InceptionV3, extract_features, load_torch_inception)
+
+    if variables is None:
+        if weights_path is not None:
+            variables = load_torch_inception(weights_path)
+        else:
+            variables = InceptionV3().init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    fa = np.asarray(extract_features(variables, jnp.asarray(images_a),
+                                     batch_size))
+    fb = np.asarray(extract_features(variables, jnp.asarray(images_b),
+                                     batch_size))
+    return calculate_fid(fa, fb)

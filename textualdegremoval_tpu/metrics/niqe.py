@@ -6,9 +6,11 @@ the coefficient field and its 4 directional products at 2 scales, 96x96
 block features, Mahalanobis-style distance to pristine statistics.
 
 Reference parity target: metrics/niqe.py (same algorithm).  The pristine
-statistics (mu/cov/gaussian window) are a published parameter set loaded
-from an npz with keys mu_pris_param (1,36), cov_pris_param (36,36),
-gaussian_window (7,7); pass its path or set TDR_NIQE_PARAMS.
+statistics (mu/cov/gaussian window) are the published NIQE parameter set —
+a pure data table, carried verbatim as niqe_pris_params.npz alongside this
+module (keys mu_pris_param (1,36), cov_pris_param (36,36), gaussian_window
+(7,7)), same file the reference ships at metrics/niqe_pris_params.npz.
+Override with params_path or TDR_NIQE_PARAMS.
 """
 
 from __future__ import annotations
@@ -87,12 +89,14 @@ def calculate_niqe(img, crop_border=0, params_path: str | None = None,
                    block_size: int = 96):
     """img: HWC BGR or HW gray in [0, 255]. Returns NIQE score (lower =
     better)."""
-    params_path = params_path or os.environ.get("TDR_NIQE_PARAMS")
-    if params_path is None or not os.path.exists(params_path):
+    params_path = (params_path or os.environ.get("TDR_NIQE_PARAMS")
+                   or os.path.join(os.path.dirname(__file__),
+                                   "niqe_pris_params.npz"))
+    if not os.path.exists(params_path):
         raise FileNotFoundError(
-            "NIQE pristine params npz not found — pass params_path or set "
-            "TDR_NIQE_PARAMS (keys: mu_pris_param, cov_pris_param, "
-            "gaussian_window)")
+            f"NIQE pristine params npz not found at {params_path} — pass "
+            "params_path or set TDR_NIQE_PARAMS (keys: mu_pris_param, "
+            "cov_pris_param, gaussian_window)")
     pris = np.load(params_path)
     mu_pris = pris["mu_pris_param"]
     cov_pris = pris["cov_pris_param"]
