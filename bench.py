@@ -3,29 +3,33 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Protocol mirrors the reference fps harness
-(models/archs/nafnet_arch_utils.py:313-349): warmup then timed loop with
-device sync.  Baseline for vs_baseline: BASELINE.json's implied target of
-reference-GPU-class throughput at 512 px; the repo publishes no number
-(SURVEY.md §6), so vs_baseline reports against an A100 PyTorch estimate of
-~1.3 img/s for RestormerRefFusion at 512 px fp32 (full-size model, two
-encoder passes + trunk).
+Protocol (round 2): the reference fps harness
+(models/archs/nafnet_arch_utils.py:313-349) times N synced forwards; through
+this rig's TPU relay a per-iteration sync costs ~29 ms of tunnel overhead,
+which is not device time.  So the timed unit here is a device-side chain of
+ITERS forwards (lax.fori_loop feeding each output back as the next input —
+same shapes), fetched once; tunnel overhead amortizes to <1 ms/image.
+REPEATS repetitions give a dispersion estimate (stderr printed to stderr).
+
+Baseline for vs_baseline: BASELINE.json's implied target of reference-GPU
+class throughput at 512 px; the repo publishes no number (SURVEY.md §6), so
+vs_baseline reports against an A100 PyTorch estimate of ~1.3 img/s for
+full-size RestormerRefFusion at 512 px fp32.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# Estimated reference throughput (img/s/GPU) for full RestormerRefFusion at
-# 512px; see module docstring.
-BASELINE_IMGS_PER_SEC = 1.3
+BASELINE_IMGS_PER_SEC = 1.3  # estimated reference throughput (see docstring)
 
 SIZE = 512
 BATCH = 1
-WARMUP = 3
-ITERS = 10
+ITERS = 20
+REPEATS = 3
 
 
 def main():
@@ -42,19 +46,36 @@ def main():
     ref = jax.random.normal(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(model.init)(key, lq, ref)
 
-    fwd = jax.jit(model.apply)
-    # Force a scalar fetch per iteration: through the remote-TPU relay,
-    # block_until_ready on a queued buffer under-reports, so each timed call
-    # round-trips a reduction of the output.
-    for _ in range(WARMUP):
-        float(jnp.sum(fwd(params, lq, ref)))
+    def chain(lq):
+        def body(_, y):
+            return model.apply(params, y, ref).astype(lq.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, ITERS, body, lq))
 
+    fn = jax.jit(chain)
+    # measure fixed fetch overhead with a trivial program
+    tiny = jax.jit(lambda x: jnp.sum(x * 2.0))
+    float(tiny(lq))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        float(jnp.sum(fwd(params, lq, ref)))
-    dt = time.perf_counter() - t0
+    for _ in range(5):
+        float(tiny(lq))
+    overhead = (time.perf_counter() - t0) / 5
 
-    imgs_per_sec = BATCH * ITERS / dt
+    float(fn(lq))  # compile + warm
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn(lq))
+        times.append((time.perf_counter() - t0 - overhead) / (ITERS * BATCH))
+    mean = sum(times) / len(times)
+    var = sum((t - mean) ** 2 for t in times) / max(len(times) - 1, 1)
+    stderr = (var / len(times)) ** 0.5
+    imgs_per_sec = 1.0 / mean
+    print(
+        f"per-image {mean * 1e3:.1f} ms +/- {stderr * 1e3:.2f} "
+        f"(device-chained x{ITERS}, {REPEATS} repeats, "
+        f"fetch overhead {overhead * 1e3:.1f} ms excluded)",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": f"restormer_reffusion_fwd_{SIZE}px_imgs_per_sec",
         "value": round(imgs_per_sec, 4),

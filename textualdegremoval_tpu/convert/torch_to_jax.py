@@ -26,8 +26,43 @@ import numpy as np
 
 import flax.traverse_util as traverse_util
 
+# Reference params that are declared but never used in any forward pass —
+# dropped at conversion (keeping them would fail strict key matching against
+# our nets, which only declare live parameters):
+# * PromptIR chnl_reduce1/2/3 + reduce_noise_channel_1/2/3
+#   (network_promptir_guided_arch.py:468-470,472-486: built, never called)
+# * SFNet dynamic_filter.lamb_l/.lamb_h (sfnet_arch_utils.py:159-160)
+_DEAD_KEYS = [
+    re.compile(r"\bchnl_reduce\d\."),
+    re.compile(r"\breduce_noise_channel_\d\."),
+    re.compile(r"\.lamb_[lh]$"),
+]
+
+
+# DRSformer MEFC (subnet/OALayer/GroupOLs/OperationLayer,
+# network_drsformer_guided_arch.py:371-547) -> our MEFC module names.
+_MEFC_OPNAMES = ["sep_conv_1x1", "sep_conv_3x3", "sep_conv_5x5",
+                 "sep_conv_7x7", "dil_conv_3x3", "dil_conv_5x5",
+                 "dil_conv_7x7"]  # op 7 = avg_pool (parameter-free)
+_MEFC_SEP_LEAF = {0: "dw1", 1: "pw1", 3: "dw2", 4: "pw2"}  # 2 is the ReLU
+_MEFC_DIL_LEAF = {0: "dw", 1: "pw"}
+
+
+def _mefc_op_sub(m: re.Match) -> str:
+    step, op_j, seq_k = m.group(1), int(m.group(2)), int(m.group(3))
+    leaf = (_MEFC_SEP_LEAF if op_j < 4 else _MEFC_DIL_LEAF)[seq_k]
+    return f".ops_{step}.{_MEFC_OPNAMES[op_j]}.{leaf}."
+
+
 # order matters: structural rewrites before index merging
 _REWRITES = [
+    # DRSformer MEFC structure flattening (subnet with layer_num=1)
+    (re.compile(r"\.layers\.0\.ca_fc\.0\."), ".ca_fc1."),
+    (re.compile(r"\.layers\.0\.ca_fc\.2\."), ".ca_fc2."),
+    (re.compile(r"\.layers\.1\.preprocess\.op\.0\."), ".preprocess."),
+    (re.compile(r"\.layers\.1\._ops\.(\d+)\._ops\.(\d+)\.op\.(\d+)\."),
+     _mefc_op_sub),
+    (re.compile(r"\.layers\.1\._ops\.(\d+)\._out\.0\."), r".ops_\1.out."),
     (re.compile(r"^module\."), ""),
     (re.compile(r"\.body\.0\.(weight|bias)$"), r".conv.\1"),  # Down/Upsample
     (re.compile(r"(norm\d?|norm)\.body\."), r"\1."),  # Restormer LN wrapper
@@ -110,6 +145,8 @@ def convert_state_dict(state_dict: Mapping[str, Any]) -> dict:
     tree (the value for the 'params' collection)."""
     flat = {}
     for k, v in state_dict.items():
+        if any(p.search(k) for p in _DEAD_KEYS):
+            continue
         arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
         path = _torch_key_to_flax_path(k)
         path, arr = _convert_leaf(path, arr)

@@ -104,17 +104,66 @@ class MDTAAttention(nn.Module):
                        name="project_out")(out)
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder: matches nn.Conv's param name
+    ('kernel'), shape convention (HWIO) and init (lecun_normal with
+    fan_in = prod(shape[:-1])), so checkpoints convert identically whether
+    the op runs as nn.Conv or as a fused Pallas kernel."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class GDFN(nn.Module):
-    """Gated-dconv FFN (network_restormer_guided_arch.py:223-241)."""
+    """Gated-dconv FFN (network_restormer_guided_arch.py:223-241).
+
+    fused: run project_in + dwconv + gate + project_out as one Pallas
+    streaming kernel (ops/pallas/gdfn.py) — the hidden (2*2.66*C wide)
+    tensor never touches HBM.  Measured 3.3x faster than the XLA op chain
+    at dim 96 / 512 px on v5e (BENCH_NOTES.md).  Auto (None): on for
+    bias-free configs on TPU; off elsewhere (CPU falls back to the
+    identical-math jnp path only under explicit fused=True).
+    """
 
     dim: int
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.ffn_expansion_factor)
+        fused = self.fused
+        if fused is None:
+            # Default OFF after measurement (BENCH_NOTES.md round 2): the
+            # fused kernel is 3.3x faster than the GDFN op chain in
+            # isolation and cuts model HBM traffic 126->102 GB, but
+            # in-model it serializes VPU depthwise work that XLA overlaps
+            # with neighboring ops — net -4% end to end.  Enable with
+            # TDR_FUSED_GDFN=1 (or fused=True) to re-evaluate on toolchains
+            # where pallas_call composes better.
+            import os
+            fused = os.environ.get("TDR_FUSED_GDFN") in ("1", "true", "on")
+        if fused and not self.use_bias:
+            from textualdegremoval_tpu.ops.pallas.gdfn import (
+                gdfn_fused, gdfn_ref)
+
+            c = x.shape[-1]
+            w1 = _ConvKernel((1, 1, c, hidden * 2), name="project_in")()
+            dwk = _ConvKernel((3, 3, 1, hidden * 2), name="dwconv")()
+            w2 = _ConvKernel((1, 1, hidden, self.dim), name="project_out")()
+            w1 = w1.reshape(c, hidden * 2)
+            dwk = dwk.reshape(3, 3, hidden * 2)
+            w2 = w2.reshape(hidden, self.dim)
+            xd = x.astype(self.dtype)
+            if jax.default_backend() == "tpu":
+                return gdfn_fused(xd, w1, dwk, w2)
+            return gdfn_ref(xd, w1, dwk, w2)
         x = nn.Conv(hidden * 2, (1, 1), use_bias=self.use_bias,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="project_in")(x)

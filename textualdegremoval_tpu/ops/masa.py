@@ -283,6 +283,24 @@ def masa_transfer(
 ) -> jnp.ndarray:
     """Warp a ref window onto the LQ block grid at one pyramid scale.
 
+    Semantics identical to the reference's unfold -> index-select -> fold(/
+    divisor) chain (network_nafnet_guided_arch.py:538-555), but reorganized
+    tile-wise to be traffic-optimal on TPU.  Key observation: kernel =
+    psize*scale with stride scale means every output (scale x scale) tile is
+    covered by exactly the patches selected at its psize^2 neighboring grid
+    cells, and each contribution is a whole aligned tile of the ref window.
+    So the fold is
+
+        out_tile[m] = sum_{a,b in psize^2} window_tile[idx2d(m+half-a, ...) + (a, b)]
+        divisor[m]  = #valid neighbors  (constant within a tile)
+
+    i.e. psize^2 output-sized row-gathers (rows of scale*scale*C contiguous
+    elements) + adds, in the input dtype.  The previous formulation
+    (materialize the full unfold, one-hot matmul, 9 shifted scatter-adds in
+    f32) moved ~9x-amplified f32 copies of the window patches through HBM —
+    at 512 px it was the single largest traffic source in the model (~11 GB
+    of the 146 GB total; this version moves ~9 output-sizes in bf16).
+
     Args:
       ref_window: (NB, d2y*scale, d2x*scale, C_s).
       index: (NB, ky, kx) int32 patch indices (deepest-scale grid).
@@ -291,27 +309,53 @@ def masa_transfer(
       (NB, ky*scale, kx*scale, C_s).
     """
     nb, ky, kx = index.shape
-    k = psize * scale
-    patches = unfold_strided(ref_window, psize, scale)  # (NB, ry, rx, C*k*k)
-    _, ry, rx, ckk = patches.shape
-    flat = patches.reshape(nb, ry * rx, ckk)
-    # Patch selection as a one-hot matmul instead of a gather: the MXU eats
-    # the (ky*kx, R) x (R, C*k*k) product, while the equivalent
-    # take_along_axis gather is ~12x slower on TPU at scale 8 (measured).
-    # Selection is exact in any dtype (multiply by {0,1}, add zeros).
-    onehot = jax.nn.one_hot(
-        index.reshape(nb, ky * kx), ry * rx, dtype=flat.dtype
-    )
-    sel = jnp.einsum("nlr,nrk->nlk", onehot, flat)
-    sel = sel.reshape(nb, ky, kx, ckk)
-    out = fold_overlap_add(sel.astype(jnp.float32), psize, scale)
-    div = fold_divisor(ky, kx, psize, scale)
+    s = scale
+    hs, ws = ref_window.shape[1], ref_window.shape[2]
+    c = ref_window.shape[-1]
+    d2y, d2x = hs // s, ws // s
+    ry, rx = d2y - psize + 1, d2x - psize + 1
+    half = psize // 2
+    dt = ref_window.dtype
+
+    # window as (NB, d2y*d2x, s*s*C) aligned tiles
+    tiles = ref_window.reshape(nb, d2y, s, d2x, s, c)
+    tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(nb, d2y * d2x, s * s * c)
+
+    iy = index // rx  # (NB, ky, kx) patch-grid coords
+    ix = index % rx
+
+    out = jnp.zeros((nb, ky, kx, s * s * c), jnp.float32)
+    cnt = jnp.zeros((1, ky, kx, 1), jnp.float32)
+    for a in range(psize):
+        # neighbor cell l = m + half - a; shift index maps by (a - half)
+        oy = a - half
+        for b in range(psize):
+            ox = b - half
+            # output cell m draws from patch cell l = m - oy; valid when
+            # l in [0, ky) -> m in [max(0, oy), min(ky, ky + oy))
+            ly0, ly1 = max(0, oy), min(ky, ky + oy)
+            lx0, lx1 = max(0, ox), min(kx, kx + ox)
+            # gather row ids for the valid region, clamped elsewhere
+            iy_sh = jnp.roll(iy, (oy, ox), axis=(1, 2))
+            ix_sh = jnp.roll(ix, (oy, ox), axis=(1, 2))
+            g = (iy_sh + a) * d2x + (ix_sh + b)  # (NB, ky, kx)
+            sel = jnp.take_along_axis(
+                tiles, g.reshape(nb, ky * kx, 1), axis=1
+            ).reshape(nb, ky, kx, s * s * c)
+            valid = jnp.zeros((1, ky, kx, 1), jnp.float32)
+            valid = valid.at[:, ly0:ly1, lx0:lx1].set(1.0)
+            out = out + sel.astype(jnp.float32) * valid
+            cnt = cnt + valid
+    out = out / cnt
+    # (NB, ky, kx, s, s, C) -> (NB, ky*s, kx*s, C)
+    out = out.reshape(nb, ky, kx, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(nb, ky * s, kx * s, c)
     att = jax.image.resize(
         soft_att[..., None].astype(jnp.float32),
-        (nb, ky * scale, kx * scale, 1),
+        (nb, ky * s, kx * s, 1),
         method="bilinear",
     )
-    return (out / div * att).astype(ref_window.dtype)
+    return (out * att).astype(dt)
 
 
 # ---------------------------------------------------------------------------
