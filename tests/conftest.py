@@ -18,3 +18,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# XLA-CPU's default conv/matmul path uses oneDNN bf16 fastmath (~3e-3 per
+# f32 conv); parity tests validate math, so force exact f32.  Deep
+# norm-free nets (SFNet) compound the fastmath error to uselessness.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -74,18 +74,17 @@ def masa_oracle(
     index = index.view(-1, ky, kx)
     soft_att = soft_att.view(-1, 1, ky, kx)
 
-    def bis(inp, dim, idx):
-        views = [inp.size(0)] + [1 if i != dim else -1 for i in range(1, inp.dim())]
-        expanse = list(inp.size())
-        expanse[0] = -1
-        expanse[dim] = -1
-        idx = idx.clone().view(views).expand(expanse)
-        return torch.gather(inp, dim, idx)
+    def select_patches(unf, idx):
+        # batched index-select along the patch axis: (NB, C*k*k, R) gathered
+        # at (NB, L) -> (NB, C*k*k, L), via plain batch indexing
+        nb = unf.size(0)
+        batch = torch.arange(nb).view(nb, 1).expand(-1, idx.size(1))
+        return unf[batch, :, idx].permute(0, 2, 1)
 
     def transfer(win, s):
         k = psize * s
         unf = F.unfold(win, kernel_size=k, stride=s)  # (NB, C*k*k, R)
-        sel = bis(unf, 2, index.view(index.size(0), -1))
+        sel = select_patches(unf, index.view(index.size(0), -1))
         div = torch.ones_like(sel)
         out = F.fold(sel, (ky * s, kx * s), kernel_size=k, padding=(psize // 2) * s, stride=s)
         div = F.fold(div, (ky * s, kx * s), kernel_size=k, padding=(psize // 2) * s, stride=s)

@@ -223,10 +223,9 @@ class MEFC(nn.Module):
         weights = jax.nn.softmax(
             y.reshape(-1, self.steps, self.num_ops), axis=-1)
 
-        # GroupOLs: preprocess (conv1x1 with bias + relu — the reference's
-        # ReLUConv keeps the torch Conv2d default bias), then steps of op
-        # layers
-        x = nn.relu(nn.Conv(self.dim, (1, 1), use_bias=True,
+        # GroupOLs: preprocess (bias-free conv1x1 + relu, the reference's
+        # ReLUConv), then steps of op layers
+        x = nn.relu(nn.Conv(self.dim, (1, 1), use_bias=False,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name="preprocess")(x))
         for i in range(self.steps):
