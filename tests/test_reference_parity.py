@@ -283,7 +283,12 @@ class TestFullSizeTrunkParity:
         from textualdegremoval_tpu.models.sfnet import SFNet
 
         mod = load_ref_arch("network_sfnet_guided_arch")
-        tm = randomize(mod.SFNet(mode=["train"], num_res=16), seed=11)
+        # scale 0.02 keeps the norm-free 96-conv trunk's gain ~1 so f32
+        # accumulation-order drift stays at machine epsilon (at 0.05 the
+        # activations amplify to ~3e6 and drown structural comparison;
+        # measured: 2.4e-7 max diff at 0.02 vs 2.8e4 at 0.05)
+        tm = randomize(mod.SFNet(mode=["train"], num_res=16), seed=11,
+                       scale=0.02)
         x = torch.randn(1, 3, 64, 64,
                         generator=torch.Generator().manual_seed(12))
         fm = SFNet(num_res=16, base_channel=32, use_running_average=True)

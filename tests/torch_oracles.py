@@ -1255,8 +1255,11 @@ class OSFconv(nn.Module):
         z = self.fc((low + high).mean(dim=(-2, -1), keepdim=True))
         high_att = self.fcs[0](z)
         low_att = self.fcs[1](z)
-        att = torch.softmax(torch.stack([high_att, low_att], dim=1), dim=1)
-        return self.out(high * att[:, 0] + low * att[:, 1])
+        # reference semantics: softmax over the whole concatenated 2C
+        # channel axis (sfnet_arch_utils.py:227-229), not pairwise
+        att = torch.softmax(torch.cat([high_att, low_att], dim=1), dim=1)
+        high_att, low_att = torch.chunk(att, 2, dim=1)
+        return self.out(high * high_att + low * low_att)
 
 
 class ODynamicFilter(nn.Module):

@@ -122,8 +122,10 @@ def main(argv=None):
     if args.max_images:
         hq_paths = hq_paths[: args.max_images]
 
-    params = None
-    fwd = jax.jit(lambda p, lq, ref: _last(model.apply({"params": p}, lq, ref)))
+    variables = None
+    # variables is the full collection tree: SFNet carries batch_stats
+    # alongside params (frozen running statistics at eval)
+    fwd = jax.jit(lambda v, lq, ref: _last(model.apply(v, lq, ref)))
 
     psnrs, ssims = [], []
     gray = opt.get("inp_channels", 3) == 1
@@ -142,13 +144,17 @@ def main(argv=None):
 
         lq_j = jnp.asarray(lq)[None]
         ref_j = jnp.asarray(ref)[None]
-        if params is None:
+        if variables is None:
             if args.checkpoint_path and os.path.exists(args.checkpoint_path):
-                params = load_torch_checkpoint(args.checkpoint_path)
+                from textualdegremoval_tpu.convert.torch_to_jax import (
+                    split_batch_stats)
+
+                variables = split_batch_stats(
+                    load_torch_checkpoint(args.checkpoint_path))
             else:
-                params = jax.jit(model.init)(
-                    jax.random.PRNGKey(0), lq_j, ref_j)["params"]
-        pred = np.clip(np.asarray(fwd(params, lq_j, ref_j))[0], 0, 1)
+                variables = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), lq_j, ref_j)
+        pred = np.clip(np.asarray(fwd(variables, lq_j, ref_j))[0], 0, 1)
         psnrs.append(calculate_psnr(pred * 255, hq * 255, crop_border=0))
         ssims.append(calculate_ssim(pred * 255, hq * 255, crop_border=0))
         print(f"[{i + 1}/{len(hq_paths)}] psnr {psnrs[-1]:.4f} "

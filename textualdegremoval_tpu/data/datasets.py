@@ -91,21 +91,45 @@ class PairedImageWithRefDataset:
 
     def __init__(self, opt: dict):
         self.opt = opt
-        self.paths = tri_paths_from_folder(
-            (opt["lqroot"], opt["hqroot"], opt["refroot"]),
-            ("lq", "gt", "ref"), opt.get("filename_tmpl", "{}"),
-        )
+        io = opt.get("io_backend", {"type": "disk"})
+        self._packed = io.get("type") == "tfrecord"
+        if self._packed:
+            # roots are packed-archive prefixes (data/packed.py); records
+            # pair identical keys across the three archives
+            from textualdegremoval_tpu.data.packed import open_packed
+
+            self._readers = {
+                "lq": open_packed(opt["lqroot"]),
+                "gt": open_packed(opt["hqroot"]),
+                "ref": open_packed(opt["refroot"]),
+            }
+            keys = [k for k in self._readers["lq"].keys()
+                    if k in self._readers["gt"] and k in self._readers["ref"]]
+            self.paths = [
+                {"lq_path": k, "gt_path": k, "ref_path": k} for k in keys]
+        else:
+            self.paths = tri_paths_from_folder(
+                (opt["lqroot"], opt["hqroot"], opt["refroot"]),
+                ("lq", "gt", "ref"), opt.get("filename_tmpl", "{}"),
+            )
         self.is_train = opt.get("phase", "train") == "train"
         self.rng = random.Random(opt.get("seed"))
 
     def __len__(self):
         return len(self.paths)
 
+    def _read(self, kind: str, rec_path: str) -> np.ndarray:
+        if self._packed:
+            from textualdegremoval_tpu.data.packed import imdecode_f32
+
+            return imdecode_f32(self._readers[kind].get(rec_path))
+        return imread_f32(rec_path)
+
     def __getitem__(self, idx):
         rec = self.paths[idx % len(self.paths)]
-        lq = imread_f32(rec["lq_path"])
-        gt = imread_f32(rec["gt_path"])
-        ref = imread_f32(rec["ref_path"])
+        lq = self._read("lq", rec["lq_path"])
+        gt = self._read("gt", rec["gt_path"])
+        ref = self._read("ref", rec["ref_path"])
         if self.is_train:
             gs = self.opt.get("gt_size", 128)
             lq, gt = reflect_pad_to(lq, gs), reflect_pad_to(gt, gs)

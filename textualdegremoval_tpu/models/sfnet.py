@@ -125,8 +125,14 @@ class SFconv(nn.Module):
         fea_z = nn.Conv(d, (1, 1), name="fc", **kw)(emerge)
         high_att = nn.Conv(self.dim, (1, 1), name="fcs_0", **kw)(fea_z)
         low_att = nn.Conv(self.dim, (1, 1), name="fcs_1", **kw)(fea_z)
-        att = jax.nn.softmax(jnp.stack([high_att, low_att], axis=-2), axis=-2)
-        out = high * att[..., 0, :] + low * att[..., 1, :]
+        # NB: the reference normalizes the softmax over the ENTIRE
+        # concatenated 2C channel axis (sfnet_arch_utils.py:227-229,
+        # nn.Softmax(dim=1) on cat([high, low])), NOT pairwise per channel
+        # as in SK-Net — trained SFNet checkpoints depend on this.
+        att = jax.nn.softmax(
+            jnp.concatenate([high_att, low_att], axis=-1), axis=-1)
+        high_att, low_att = jnp.split(att, 2, axis=-1)
+        out = high * high_att + low * low_att
         return nn.Conv(self.dim, (1, 1), name="out", **kw)(out)
 
 

@@ -30,8 +30,22 @@ class LmdbBackend:
             return bytes(txn.get(key.encode("ascii")))
 
 
+class TfrecordBackend:
+    """Keyed reads from a packed TFRecord archive (data/packed.py) — the
+    TPU-native replacement for the reference's LMDB backend."""
+
+    def __init__(self, db_path: str, verify: bool = False):
+        from textualdegremoval_tpu.data.packed import PackedImageReader
+
+        self._reader = PackedImageReader(db_path, verify=verify)
+
+    def get(self, key: str) -> bytes:
+        return self._reader.get(key)
+
+
 class FileClient:
-    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend}
+    _backends = {"disk": DiskBackend, "lmdb": LmdbBackend,
+                 "tfrecord": TfrecordBackend}
 
     def __init__(self, backend: str = "disk", **kwargs):
         if backend not in self._backends:
