@@ -18,6 +18,7 @@ def eval_dirs(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_evaluate_denoise_smoke(eval_dirs, capsys):
     from textualdegremoval_tpu.cli.evaluate import main
 

@@ -9,6 +9,8 @@ import cv2
 import yaml
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end/full-net: minutes on CPU
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -2,6 +2,7 @@
 match bit-close in f32.  This is the lossless-conversion gate required by
 BASELINE.json."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,7 @@ def randomize(torch_model, seed=0):
     return torch_model
 
 
+@pytest.mark.slow
 class TestRestormerConversion:
     def test_forward_parity(self):
         tm = randomize(ORestormer(dim=8, num_blocks=(1, 1, 1, 1),
@@ -167,6 +169,7 @@ class TestConvTransposeConversion:
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestPromptIRConversion:
     def test_forward_parity_with_prompts(self):
         from textualdegremoval_tpu.models.promptir import PromptIR
@@ -263,6 +266,7 @@ class TestNAFNetDynamicConversion:
             np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestSFNetFullConversion:
     def test_full_net_forward_parity(self):
         from textualdegremoval_tpu.models.sfnet import SFNetRefFusion

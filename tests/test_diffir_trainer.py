@@ -1,5 +1,6 @@
 """DiffIR variant: frozen CLIP+mapper embed -> NAFNetDynamicFusion training."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,8 @@ from textualdegremoval_tpu.train.trainer import (
     build_optimizer, create_train_state,
 )
 from textualdegremoval_tpu.losses import l1_loss
+
+pytestmark = pytest.mark.slow  # end-to-end/full-net: minutes on CPU
 
 KEY = jax.random.PRNGKey(0)
 

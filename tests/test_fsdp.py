@@ -1,6 +1,7 @@
 """FSDP param sharding: sharded train step must match the replicated step
 numerically, with params actually distributed."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ class TestFsdpSpec:
 
 
 class TestFsdpStep:
+    @pytest.mark.slow
     def test_matches_replicated(self):
         mesh = make_mesh()
         m = RestormerRefFusion(

@@ -96,6 +96,7 @@ class TestRefFusion:
         y2 = m.apply(params, lq, ref2)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
+    @pytest.mark.slow
     def test_grads_flow(self):
         import flax.traverse_util as tu
 
@@ -152,6 +153,7 @@ class TestRegistry:
 
 
 class TestDualPixelAndOddSizes:
+    @pytest.mark.slow
     def test_ref_fusion_odd_size_pads(self):
         m = tiny_restormer_ref()
         lq = jax.random.normal(KEY, (1, 50, 70, 3))

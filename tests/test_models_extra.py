@@ -45,6 +45,7 @@ class TestPromptIR:
         y = jax.jit(m.apply)(params, x)
         assert y.shape == x.shape
 
+    @pytest.mark.slow
     def test_ref_fusion(self):
         m = PromptIRRefFusion(dim=48, num_blocks=(1, 1, 1, 1),
                               num_refinement_blocks=1, heads=(1, 1, 2, 2),

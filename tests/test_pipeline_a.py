@@ -1,6 +1,7 @@
 """Pipeline A tests on tiny towers: injection semantics, mappers, UNet,
 VAE, DDIM, end-to-end train steps and generation."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -170,6 +171,7 @@ def _tiny_setup():
     return mods, params, batch
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_i2t_train_step(self):
         mods, params, batch = _tiny_setup()

@@ -343,6 +343,7 @@ class TestNAFNetRefFusionVsReference:
         fm = NAFNetRefFusion(**kw)
         _assert_forward_parity(tm, fm, (lq, ref), atol=atol)
 
+    @pytest.mark.slow
     def test_real_masa_geometry(self):
         """lr_block_size=8 (the config value) => full multi-block coarse
         search, border clamping, 5-scale gather/transfer — against the real
@@ -369,6 +370,32 @@ class TestNAFNetRefFusionVsReference:
 # documented divergences (SURVEY §2.5): the reference code must fail the way
 # the catalog says; our implementation of the intended semantics must run.
 # ---------------------------------------------------------------------------
+
+
+class TestI2TMapperVsReference:
+    def test_mapper_parity(self):
+        """The I2T Mapper as shipped in the reference tree
+        (network_nafnet_guided_diffir_arch.py:27-68, the importable copy of
+        scripts/train/main_train_i2t_mapping.py:40-81): per-word 4-layer
+        MLPs for CLS + mean-pooled per-word patch MLPs."""
+        from textualdegremoval_tpu.models.mappers import I2TMapper
+        from textualdegremoval_tpu.convert.tower_maps import convert_mapper
+
+        mod = load_ref_arch("network_nafnet_guided_diffir_arch")
+        nw, din, dout = 4, 1280, 1024
+        tm = randomize(mod.Mapper(din, dout, nw), seed=30)
+        tm.eval()
+        g = torch.Generator().manual_seed(31)
+        embs = torch.randn(2, 9, din, generator=g)
+        with torch.no_grad():
+            want = tm((embs,)).numpy()  # reference takes a tuple (embs[0])
+
+        fm = I2TMapper(num_words=nw, input_dim=din, output_dim=dout)
+        params = {"params": convert_mapper(tm.state_dict(), nw)}
+        init = fm.init(KEY, jnp.asarray(embs.numpy()))
+        assert verify_against_init(params["params"], init["params"]) == []
+        got = fm.apply(params, jnp.asarray(embs.numpy()))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
 
 class TestDocumentedDivergences:
@@ -430,3 +457,17 @@ class TestDocumentedDivergences:
         with pytest.raises(IndexError):
             with torch.no_grad():
                 tm(lq, ref)
+
+    def test_drsformer_200l_spa_file_broken_as_shipped(self):
+        """The 200L/SPA copy (network_drsformer_guided_arch_200L_SPA.py)
+        ships only the RefFusion class and cannot even construct: the file
+        lacks `import functools` (used by its Encoder at :102), on top of
+        the feat[4] index bug the family shares.  Our
+        DRSformerRefFusion(use_mefc=False) is the working equivalent
+        (registry name DRSformer200L_SPA_RefFusion)."""
+        mod = load_ref_arch("network_drsformer_guided_arch_200L_SPA")
+        with pytest.raises(NameError, match="functools"):
+            mod.DRSformer200L_SPA_RefFusion(
+                dim=8, num_blocks=[1, 1, 1, 1], heads=[1, 1, 2, 2], nf=8,
+                ext_n_blocks=[1, 1, 1, 1], reffusion_n_blocks=[1, 1, 1, 1],
+                lr_block_size=4)

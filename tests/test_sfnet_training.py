@@ -1,6 +1,7 @@
 """SFNet training with BatchNorm batch_stats: the train step must thread and
 update the mutable collection, and multi-scale supervision must apply."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,8 @@ from textualdegremoval_tpu.train.trainer import (
     build_optimizer, create_train_state, make_train_step,
 )
 from textualdegremoval_tpu.losses import l1_loss
+
+pytestmark = pytest.mark.slow  # end-to-end/full-net: minutes on CPU
 
 KEY = jax.random.PRNGKey(0)
 

@@ -2,6 +2,7 @@
 unsharded forward exactly — GSPMD inserts halo exchanges for the convs and
 collectives for the MASA gathers."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from textualdegremoval_tpu.models.restormer import RestormerRefFusion
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 def test_sp_sharded_forward_matches_unsharded():
     m = RestormerRefFusion(
         dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,

@@ -1,6 +1,7 @@
 """Trainer tests: optimizer param-group split, masa freeze, train step on an
 8-device dp mesh, EMA, grad clip."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,7 @@ class TestOptimizer:
         assert any("masa_blk" in "/".join(k) for k in masa)
         assert all("masa" not in "/".join(k).lower() for k in trunk)
 
+    @pytest.mark.slow
     def test_masa_frozen_then_released(self):
         m, state, step, batch = setup(fix_iters=2)
         p0 = tu.flatten_dict(state.params)
@@ -83,6 +85,7 @@ class TestOptimizer:
         assert not np.allclose(p3[masa_key], p0[masa_key])
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_loss_decreases(self):
         m, state, step, batch = setup()
@@ -109,6 +112,7 @@ class TestTrainStep:
         assert float(metrics["grad_norm"]) > 0
 
 
+@pytest.mark.slow
 class TestMeshTrainStep:
     def test_dp8_step_runs_and_matches_single(self):
         mesh = make_mesh()
