@@ -471,3 +471,45 @@ class TestDocumentedDivergences:
                 dim=8, num_blocks=[1, 1, 1, 1], heads=[1, 1, 2, 2], nf=8,
                 ext_n_blocks=[1, 1, 1, 1], reffusion_n_blocks=[1, 1, 1, 1],
                 lr_block_size=4)
+
+
+class TestDataUtilsVsReference:
+    def test_duf_downsample_matches_reference(self):
+        """duf_downsample (reference data/utils_data.py:465-497) — Gaussian
+        blur + strided sample + border crop; validated against the actual
+        reference implementation (loaded with stub deps; torchvision absent
+        so utils_image is faked)."""
+        import importlib.util
+
+        for name, attrs in [
+            ("data", {}), ("data.transforms", {"mod_crop": lambda *a: None}),
+            ("utils", {}),
+            ("utils.utils_image", {"img2tensor": lambda *a, **k: None}),
+            ("utils.utils_misc", {"scandir": lambda *a, **k: []}),
+        ]:
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                for k, v in attrs.items():
+                    setattr(m, k, v)
+                sys.modules[name] = m
+        spec = importlib.util.spec_from_file_location(
+            "data.utils_data", f"{REF_ROOT}/data/utils_data.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["data.utils_data"] = mod
+        spec.loader.exec_module(mod)
+
+        from textualdegremoval_tpu.data.transforms import duf_downsample
+
+        rng = np.random.default_rng(0)
+        x = rng.random((1, 1, 3, 32, 32)).astype(np.float32)
+        want = mod.duf_downsample(torch.from_numpy(x), 13, 4).numpy()
+        got = duf_downsample(x[0, 0].transpose(1, 2, 0)[None], 13, 4)
+        np.testing.assert_allclose(
+            got[0].transpose(2, 0, 1), want[0, 0], atol=1e-5)
+
+    def test_img_rotate_smoke(self):
+        from textualdegremoval_tpu.data.transforms import img_rotate
+
+        img = np.arange(48, dtype=np.float32).reshape(4, 4, 3)
+        out = img_rotate(img, 90)
+        assert out.shape == img.shape and np.isfinite(out).all()

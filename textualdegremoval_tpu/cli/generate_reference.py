@@ -52,7 +52,10 @@ def tokenize(prompt: str, max_length: int = 77):
     try:
         from transformers import CLIPTokenizer
 
-        tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+        # local cache only — this must never hit the network (zero-egress
+        # rigs spend minutes in retry backoff otherwise)
+        tok = CLIPTokenizer.from_pretrained(
+            "openai/clip-vit-base-patch32", local_files_only=True)
         out = tok(prompt, padding="max_length", max_length=max_length,
                   truncation=True, return_tensors="np")
         return out.input_ids.astype(np.int32)
@@ -77,6 +80,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--random_init", action="store_true",
+                    help="seed-0 random tower weights — exercises the full "
+                         "pipeline without converted checkpoints (outputs "
+                         "are noise; infrastructure smoke only)")
     args = ap.parse_args(argv)
 
     mods = GuidanceModules.sd21_config(num_words=args.num_words)
@@ -91,10 +98,32 @@ def main(argv=None):
 
         params = ocp.StandardCheckpointer().restore(
             os.path.abspath(args.pretrained_params))
+    elif args.random_init:
+        key = jax.random.PRNGKey(0)
+        dummy_clip = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        dummy_lat = jnp.zeros((1, args.size // 8, args.size // 8, 4),
+                              jnp.float32)
+        dummy_img = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
+        image_params = jax.jit(mods.image_encoder.init)(key, dummy_clip)
+        n_patches = 1 + (224 // 14) ** 2
+        params = {
+            "image_encoder": image_params["params"],
+            "mapper": mods.mapper.init(
+                key, jnp.zeros((1, n_patches, 1280)))["params"],
+            "clean_mapper": mods.clean_mapper.init(
+                key, jnp.zeros((1, args.num_words, 1024)))["params"],
+            "text_encoder": jax.jit(mods.text_encoder.init)(
+                key, input_ids)["params"],
+            "unet": jax.jit(mods.unet.init)(
+                key, dummy_lat, jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, 1024)))["params"],
+            "vae": jax.jit(mods.vae.init)(key, dummy_img, key)["params"],
+        }
     else:
         raise SystemExit(
             "--pretrained_params is required (tower weights); convert the "
-            "reference checkpoints with textualdegremoval_tpu.convert first")
+            "reference checkpoints with textualdegremoval_tpu.convert "
+            "first, or pass --random_init for an infrastructure smoke run")
 
     paths = scan_images(args.test_data_dir)
     rng = jax.random.PRNGKey(args.seed)

@@ -99,3 +99,55 @@ def random_augmentation(*imgs, rng=None):
     rng = rng or random
     mode = rng.randint(0, 7)
     return [_aug_mode(img, mode) for img in imgs]
+
+
+def img_rotate(img, angle, center=None, scale=1.0):
+    """Rotate by `angle` degrees (ccw) about `center` with isotropic
+    `scale` (reference data/transforms.py:203-221)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if center is None:
+        center = (w // 2, h // 2)
+    matrix = cv2.getRotationMatrix2D(center, angle, scale)
+    return cv2.warpAffine(img, matrix, (w, h))
+
+
+def generate_gaussian_kernel(kernel_size: int = 13, sigma: float = 1.6):
+    """2-D Gaussian kernel (reference data/utils_data.py:444-462)."""
+    import numpy as np
+    from scipy.ndimage import filters as _f
+
+    kernel = np.zeros((kernel_size, kernel_size))
+    kernel[kernel_size // 2, kernel_size // 2] = 1
+    return _f.gaussian_filter(kernel, sigma)
+
+
+def duf_downsample(x, kernel_size: int = 13, scale: int = 4):
+    """Gaussian-blur + strided downsample, DUF protocol (reference
+    data/utils_data.py:465-497: reflect-pad by k//2 + 2*scale, depthwise
+    Gaussian conv at stride `scale`, then crop 2 border pixels).
+
+    x: (..., H, W, C) numpy array.  Returns (..., H//scale, W//scale, C).
+    """
+    import numpy as np
+    from scipy.ndimage import convolve
+
+    assert scale in (2, 3, 4), f"Only scale (2, 3, 4) supported, got {scale}"
+    kernel = generate_gaussian_kernel(kernel_size, 0.4 * scale)
+    k2 = kernel_size // 2
+    pad = k2 + scale * 2
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    outs = []
+    for img in x.reshape((-1, h, w, c)):
+        p = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        blur = np.stack(
+            [convolve(p[:, :, ch], kernel, mode="constant")
+             for ch in range(c)], axis=-1)
+        # valid conv region of the padded tensor, sampled at stride `scale`
+        valid = blur[k2: p.shape[0] - k2, k2: p.shape[1] - k2]
+        sub = valid[::scale, ::scale]
+        # the reference crops 2 pixels of the (scale*2-padded) borders
+        outs.append(sub[2: 2 + h // scale, 2: 2 + w // scale])
+    return np.stack(outs).reshape(lead + outs[0].shape)
