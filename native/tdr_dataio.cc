@@ -112,4 +112,48 @@ void batch_prepare(const uint8_t** srcs, float** dsts, const int* params,
   for (auto& t : ts) t.join();
 }
 
+// crc32c (Castagnoli, reflected) — slice-by-8 table method.  The packed
+// TFRecord archive path (data/packed.py) computes two CRCs per record;
+// a Python per-byte loop is ~1M interpreter iterations per MB, which makes
+// packing real datasets on a 1-core host take hours.
+static uint32_t g_crc_tables[8][256];
+static bool g_crc_init = false;
+
+static void crc32c_init_tables() {
+  constexpr uint32_t kPoly = 0x82F63B78u;
+  for (int i = 0; i < 256; ++i) {
+    uint32_t c = (uint32_t)i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ kPoly : c >> 1;
+    g_crc_tables[0][i] = c;
+  }
+  for (int t = 1; t < 8; ++t) {
+    for (int i = 0; i < 256; ++i) {
+      const uint32_t c = g_crc_tables[t - 1][i];
+      g_crc_tables[t][i] = g_crc_tables[0][c & 0xFF] ^ (c >> 8);
+    }
+  }
+  g_crc_init = true;
+}
+
+uint32_t crc32c(const uint8_t* data, int64_t n) {
+  if (!g_crc_init) crc32c_init_tables();
+  uint32_t crc = 0xFFFFFFFFu;
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    const uint32_t lo = crc ^ ((uint32_t)data[i] | ((uint32_t)data[i + 1] << 8) |
+                               ((uint32_t)data[i + 2] << 16) |
+                               ((uint32_t)data[i + 3] << 24));
+    const uint32_t hi = (uint32_t)data[i + 4] | ((uint32_t)data[i + 5] << 8) |
+                        ((uint32_t)data[i + 6] << 16) |
+                        ((uint32_t)data[i + 7] << 24);
+    crc = g_crc_tables[7][lo & 0xFF] ^ g_crc_tables[6][(lo >> 8) & 0xFF] ^
+          g_crc_tables[5][(lo >> 16) & 0xFF] ^ g_crc_tables[4][lo >> 24] ^
+          g_crc_tables[3][hi & 0xFF] ^ g_crc_tables[2][(hi >> 8) & 0xFF] ^
+          g_crc_tables[1][(hi >> 16) & 0xFF] ^ g_crc_tables[0][hi >> 24];
+  }
+  for (; i < n; ++i)
+    crc = g_crc_tables[0][(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
 }  // extern "C"

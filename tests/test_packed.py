@@ -81,6 +81,56 @@ def test_file_client_backend(archive):
     assert imdecode_f32(buf).shape == (24, 32, 3)
 
 
+def test_crc32c_native_matches_python():
+    from textualdegremoval_tpu.data import native
+    from textualdegremoval_tpu.data.packed import _crc32c_py
+
+    if not native.crc32c_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 7, 8, 9, 4096, 100001):
+        data = rng.integers(0, 256, n, np.uint8).tobytes()
+        assert native.crc32c(data) == _crc32c_py(data)
+
+
+def test_reader_thread_safe(archive):
+    """Concurrent get() from many threads must not tear reads (the loader
+    calls dataset[i] from num_worker threads; reads are os.pread-based)."""
+    import concurrent.futures as cf
+
+    root, _ = archive
+    r = PackedImageReader(str(root / "lq_packed"), verify=True)
+    expected = {k: r.get(k) for k in r.keys()}
+
+    def hammer(seed):
+        rng = np.random.default_rng(seed)
+        keys = r.keys()
+        for _ in range(200):
+            k = keys[rng.integers(len(keys))]
+            if r.get(k) != expected[k]:
+                return False
+        return True
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        assert all(ex.map(hammer, range(8)))
+
+
+def test_packed_key_mismatch_raises(archive, tmp_path):
+    """A misbuilt archive (key sets disagree) must fail loudly, not
+    silently shrink the dataset."""
+    root, _ = archive
+    rng = np.random.default_rng(1)
+    os.makedirs(tmp_path / "extra")
+    img = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "extra" / "odd_one.png"), img)
+    pack_image_folder(str(tmp_path / "extra"), str(tmp_path / "bad_ref"))
+    with pytest.raises(ValueError, match="disagree on keys"):
+        PairedImageWithRefDataset(dict(
+            lqroot=str(root / "lq_packed"), hqroot=str(root / "hq_packed"),
+            refroot=str(tmp_path / "bad_ref"),
+            io_backend={"type": "tfrecord"}, phase="train"))
+
+
 def test_withref_dataset_from_packed(archive):
     root, _ = archive
     common = dict(geometric_augs=True, gt_size=16, seed=3, phase="train")

@@ -89,31 +89,50 @@ class PairedImageWithRefDataset:
     Dataset_PairedImageWithRef :161-254 — ref-crop selection happens in the
     trainer via the DINO matcher)."""
 
+    _packed = False  # flipped by _init_packed_io; class default keeps every
+    # subclass __init__ safe even if it skips the io_backend setup
+
     def __init__(self, opt: dict):
         self.opt = opt
-        io = opt.get("io_backend", {"type": "disk"})
-        self._packed = io.get("type") == "tfrecord"
-        if self._packed:
-            # roots are packed-archive prefixes (data/packed.py); records
-            # pair identical keys across the three archives
-            from textualdegremoval_tpu.data.packed import open_packed
-
-            self._readers = {
-                "lq": open_packed(opt["lqroot"]),
-                "gt": open_packed(opt["hqroot"]),
-                "ref": open_packed(opt["refroot"]),
-            }
-            keys = [k for k in self._readers["lq"].keys()
-                    if k in self._readers["gt"] and k in self._readers["ref"]]
-            self.paths = [
-                {"lq_path": k, "gt_path": k, "ref_path": k} for k in keys]
-        else:
+        if not self._init_packed_io(opt):
             self.paths = tri_paths_from_folder(
                 (opt["lqroot"], opt["hqroot"], opt["refroot"]),
                 ("lq", "gt", "ref"), opt.get("filename_tmpl", "{}"),
             )
         self.is_train = opt.get("phase", "train") == "train"
         self.rng = random.Random(opt.get("seed"))
+
+    def _init_packed_io(self, opt: dict) -> bool:
+        """When io_backend is tfrecord, open the three archives and build
+        self.paths from their (identical) key sets; returns whether the
+        packed path is active.  Roots are packed-archive prefixes
+        (data/packed.py); a key-set mismatch across the archives means a
+        misbuilt archive and fails loudly instead of silently shrinking the
+        dataset (the disk path's pairing raises on mismatches too)."""
+        io = opt.get("io_backend", {"type": "disk"})
+        self._packed = io.get("type") == "tfrecord"
+        if not self._packed:
+            return False
+        from textualdegremoval_tpu.data.packed import open_packed
+
+        self._readers = {
+            "lq": open_packed(opt["lqroot"]),
+            "gt": open_packed(opt["hqroot"]),
+            "ref": open_packed(opt["refroot"]),
+        }
+        sets = {k: set(r.keys()) for k, r in self._readers.items()}
+        common = sets["lq"] & sets["gt"] & sets["ref"]
+        dropped = {k: sorted(s - common) for k, s in sets.items() if s - common}
+        if dropped:
+            detail = "; ".join(
+                f"{k}: {len(v)} unmatched (e.g. {v[:3]})"
+                for k, v in dropped.items())
+            raise ValueError(
+                f"packed archives disagree on keys — {detail}. "
+                "Rebuild the archives from matched folders.")
+        self.paths = [
+            {"lq_path": k, "gt_path": k, "ref_path": k} for k in sorted(common)]
+        return True
 
     def __len__(self):
         return len(self.paths)
@@ -202,15 +221,16 @@ class PairedDehazeWithRefDataset(PairedImageWithRefDataset):
 
     def __init__(self, opt: dict):
         self.opt = opt
-        meta = opt.get("meta_info_file")
-        if meta:
-            self.paths = paths_from_meta_info(
-                meta, (opt["lqroot"], opt["hqroot"], opt["refroot"]),
-                ("lq", "gt", "ref"))
-        else:
-            self.paths = tri_paths_from_folder(
-                (opt["lqroot"], opt["hqroot"], opt["refroot"]),
-                ("lq", "gt", "ref"))
+        if not self._init_packed_io(opt):
+            meta = opt.get("meta_info_file")
+            if meta:
+                self.paths = paths_from_meta_info(
+                    meta, (opt["lqroot"], opt["hqroot"], opt["refroot"]),
+                    ("lq", "gt", "ref"))
+            else:
+                self.paths = tri_paths_from_folder(
+                    (opt["lqroot"], opt["hqroot"], opt["refroot"]),
+                    ("lq", "gt", "ref"))
         self.is_train = opt.get("phase", "train") == "train"
         self.rng = random.Random(opt.get("seed"))
 

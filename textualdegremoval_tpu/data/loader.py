@@ -60,28 +60,37 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         idx_q: queue.Queue = queue.Queue()
         for bi, b in enumerate(batches):
             idx_q.put((bi, b))
 
         results: dict[int, dict] = {}
-        results_lock = threading.Lock()
+        cond = threading.Condition()
         stop = threading.Event()
+        # In-flight bound: a worker must hold a permit to decode a batch; the
+        # consumer returns the permit when it takes the batch.  Decoded-but-
+        # unconsumed + being-decoded batches never exceed prefetch_batches,
+        # so a stalled consumer cannot make the pool decode the whole epoch
+        # ahead (unbounded host memory on large-image datasets).
+        permits = threading.Semaphore(max(1, self.prefetch_batches))
 
         def worker():
             while not stop.is_set():
+                if not permits.acquire(timeout=0.1):
+                    continue
                 try:
                     bi, batch_idx = idx_q.get_nowait()
                 except queue.Empty:
+                    permits.release()
                     return
                 try:
                     samples = [self.dataset[i] for i in batch_idx]
                     out = collate(samples)
                 except Exception as e:  # surface errors to the consumer
                     out = e
-                with results_lock:
+                with cond:
                     results[bi] = out
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -90,13 +99,11 @@ class DataLoader:
 
         try:
             for bi in range(len(batches)):
-                while True:
-                    with results_lock:
-                        if bi in results:
-                            out = results.pop(bi)
-                            break
-                    # bound memory: don't let workers run too far ahead
-                    threading.Event().wait(0.002)
+                with cond:
+                    while bi not in results:
+                        cond.wait(timeout=0.1)
+                    out = results.pop(bi)
+                permits.release()
                 if isinstance(out, Exception):
                     raise out
                 yield out

@@ -51,12 +51,28 @@ def _load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "crc32c"):  # absent in pre-round-3 cached builds
+        lib.crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_int64]
+        lib.crc32c.restype = ctypes.c_uint32
     _LIB = lib
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def crc32c_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "crc32c")
+
+
+def crc32c(data: bytes) -> int:
+    """crc32c (Castagnoli) of a byte string via the native slice-by-8 path."""
+    lib = _load()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    return int(lib.crc32c(buf, len(data)))
 
 
 def _fptr(a):

@@ -50,12 +50,22 @@ def _crc_table() -> np.ndarray:
     return _CRC_TABLE
 
 
-def crc32c(data: bytes) -> int:
+def _crc32c_py(data: bytes) -> int:
     table = _crc_table()
     crc = np.uint32(0xFFFFFFFF)
     for b in np.frombuffer(data, np.uint8):
         crc = table[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint8(8))
     return int(crc ^ np.uint32(0xFFFFFFFF))
+
+
+def crc32c(data: bytes) -> int:
+    # the python loop is ~1M interpreter iterations per MB; packing real
+    # datasets needs the native slice-by-8 path (native/tdr_dataio.cc)
+    from textualdegremoval_tpu.data import native as _native
+
+    if _native.crc32c_available():
+        return _native.crc32c(data)
+    return _crc32c_py(data)
 
 
 def masked_crc32c(data: bytes) -> int:
@@ -159,8 +169,26 @@ def pack_image_folder(src_dir: str, out_prefix: str) -> int:
     return len(index)
 
 
+def _pread_exact(fd: int, n: int, offset: int) -> bytes:
+    """Positioned read of exactly n bytes (loops over short reads)."""
+    chunks = []
+    while n > 0:
+        b = os.pread(fd, n, offset)
+        if not b:
+            raise IOError(f"truncated archive: EOF at offset {offset}")
+        chunks.append(b)
+        offset += len(b)
+        n -= len(b)
+    return b"".join(chunks) if len(chunks) != 1 else chunks[0]
+
+
 class PackedImageReader:
-    """Keyed random-access reader over a packed archive."""
+    """Keyed random-access reader over a packed archive.
+
+    Reads go through os.pread on a shared raw fd: positioned reads are
+    stateless, so one reader instance is safe to call from the DataLoader's
+    concurrent worker threads (a buffered seek+read pair is not atomic and
+    interleaves under concurrency)."""
 
     def __init__(self, prefix: str, verify: bool = False):
         if prefix.endswith(".tfrecord"):
@@ -176,7 +204,7 @@ class PackedImageReader:
             for off, payload in iterate_records(self._path, verify):
                 key, _ = _decode_payload(payload)
                 self._index[key] = off
-        self._f = None  # opened lazily, per worker process/thread
+        self._fd = None  # opened lazily (post-fork safe)
 
     def keys(self) -> list[str]:
         return sorted(self._index)
@@ -188,14 +216,39 @@ class PackedImageReader:
         return key in self._index
 
     def get(self, key: str) -> bytes:
-        if self._f is None:
-            self._f = open(self._path, "rb")
-        payload = read_record_at(self._f, self._index[key], self._verify)
+        fd = self._fd
+        if fd is None:
+            fd = self._fd = os.open(self._path, os.O_RDONLY)
+        offset = self._index[key]
+        hdr = _pread_exact(fd, 12, offset)
+        (length,) = struct.unpack_from("<Q", hdr, 0)
+        (hcrc,) = struct.unpack_from("<I", hdr, 8)
+        rest = _pread_exact(fd, length + 4, offset + 12)
+        payload = rest[:length]
+        if self._verify:
+            (pcrc,) = struct.unpack_from("<I", rest, length)
+            if masked_crc32c(hdr[:8]) != hcrc:
+                raise IOError(
+                    f"TFRecord header crc mismatch at offset {offset}")
+            if masked_crc32c(payload) != pcrc:
+                raise IOError(
+                    f"TFRecord payload crc mismatch at offset {offset}")
         got_key, data = _decode_payload(payload)
         if got_key != key:
             raise IOError(
                 f"index/archive mismatch: wanted {key!r}, found {got_key!r}")
         return data
+
+    def close(self):
+        fd, self._fd = self._fd, None
+        if fd is not None:
+            os.close(fd)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 _READER_CACHE: dict[str, PackedImageReader] = {}
