@@ -118,6 +118,61 @@ class TestNAFNetDynamic:
         assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
+class TestMismatchedRefSize:
+    """Whole-image eval feeds a full-size reference whose spatial size can
+    differ from the lq (reference nonpad_test semantics): the MASA encoder
+    must fall back to two shared-param passes (layers.masa_encode_pair)."""
+
+    def test_nafnet_reffusion_ref_size_differs(self):
+        from textualdegremoval_tpu.models.nafnet import NAFNetRefFusion
+
+        m = NAFNetRefFusion(width=8, middle_blk_num=1,
+                            enc_blk_nums=(1, 1, 1, 1),
+                            dec_blk_nums=(1, 1, 1, 1), nf=8,
+                            ext_n_blocks=(1, 1, 1, 1),
+                            reffusion_n_blocks=(1, 1, 1, 1, 1),
+                            lr_block_size=2)
+        lq = jax.random.normal(KEY, (1, 40, 56, 3))
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        params = m.init(KEY, lq, ref)
+        y = jax.jit(m.apply)(params, lq, ref)
+        assert y.shape == lq.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_restormer_equal_vs_pair_path_consistent(self):
+        """The batched path (equal shapes) and the two-pass path must share
+        parameters: cropping the ref to the lq shape changes values but the
+        two-pass forward with an equal-size ref must equal the batched one."""
+        from textualdegremoval_tpu.models.restormer import RestormerRefFusion
+        from textualdegremoval_tpu.models import layers as L
+
+        m = RestormerRefFusion(
+            dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+            heads=(1, 1, 2, 2), nf=8, ext_n_blocks=(1, 1, 1, 1),
+            reffusion_n_blocks=(1, 1, 1, 1), lr_block_size=4)
+        lq = jax.random.normal(KEY, (1, 32, 32, 3))
+        ref = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        params = m.init(KEY, lq, ref)
+        batched = np.asarray(m.apply(params, lq, ref))
+
+        orig = L.masa_encode_pair
+
+        def force_two_pass(enc, a, b):
+            return enc(a), enc(b)
+
+        L.masa_encode_pair = force_two_pass
+        try:
+            import textualdegremoval_tpu.models.restormer as R
+            saved = R.masa_encode_pair
+            R.masa_encode_pair = force_two_pass
+            two_pass = np.asarray(m.apply(params, lq, ref))
+            R.masa_encode_pair = saved
+        finally:
+            L.masa_encode_pair = orig
+        np.testing.assert_allclose(batched, two_pass, atol=2e-5)
+
+
 class TestRegistryExtra:
     @pytest.mark.parametrize("name", [
         "DRSformer", "DRSformerRefFusion", "PromptIR", "PromptIRRefFusion",

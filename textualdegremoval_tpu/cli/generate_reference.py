@@ -31,14 +31,15 @@ from textualdegremoval_tpu.data.pairing import scan_images
 from textualdegremoval_tpu.data.datasets import imread_f32
 from textualdegremoval_tpu.utils.image import tensor2img, imwrite
 
+from textualdegremoval_tpu.diffusion.tokenizer import tokenize_template
+
 CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
-# "a photo of a S" template token ids for the SD 2.1 tokenizer; the
-# placeholder index (position of S) is 4.  When transformers is available we
-# tokenize properly; these constants are the documented fallback.
 PROMPT_TEMPLATE = "a photo of a S"
-INJ_INDEX = 5
+# derived by the reference's placeholder rule; with --tokenizer_path (the SD
+# checkpoint's tokenizer/ dir) real BPE ids replace the known-id fallback
+INJ_INDEX = tokenize_template(PROMPT_TEMPLATE)[2]
 
 
 def center_crop_square(img: np.ndarray) -> np.ndarray:
@@ -48,24 +49,13 @@ def center_crop_square(img: np.ndarray) -> np.ndarray:
     return img[top : top + s, left : left + s]
 
 
-def tokenize(prompt: str, max_length: int = 77):
-    try:
-        from transformers import CLIPTokenizer
-
-        # local cache only — this must never hit the network (zero-egress
-        # rigs spend minutes in retry backoff otherwise)
-        tok = CLIPTokenizer.from_pretrained(
-            "openai/clip-vit-base-patch32", local_files_only=True)
-        out = tok(prompt, padding="max_length", max_length=max_length,
-                  truncation=True, return_tensors="np")
-        return out.input_ids.astype(np.int32)
-    except Exception:
-        # offline fallback: BOS .. placeholder .. EOS padded
-        ids = np.full((1, max_length), 0, np.int32)
-        ids[0, 0] = 49406
-        ids[0, 1:6] = [320, 1125, 539, 320, 49407 - 1]
-        ids[0, 6] = 49407
-        return ids
+def tokenize(prompt: str, max_length: int = 77, tokenizer_path=None):
+    """Back-compat helper (train_i2t imports it): full-prompt ids only."""
+    if prompt == "":
+        return tokenize_template(PROMPT_TEMPLATE, max_length=max_length,
+                                 tokenizer_path=tokenizer_path)[1]
+    return tokenize_template(prompt, max_length=max_length,
+                             tokenizer_path=tokenizer_path)[0]
 
 
 def main(argv=None):
@@ -75,6 +65,12 @@ def main(argv=None):
     ap.add_argument("--pretrained_params", default=None,
                     help="orbax dir with {text_encoder,image_encoder,unet,"
                          "vae,mapper,clean_mapper} params")
+    ap.add_argument("--tokenizer_path", default=None,
+                    help="SD checkpoint tokenizer/ dir (vocab.json + "
+                         "merges.txt); omitted -> documented known-id "
+                         "fallback for the default template")
+    ap.add_argument("--template", default=PROMPT_TEMPLATE)
+    ap.add_argument("--placeholder_token", default="S")
     ap.add_argument("--num_words", type=int, default=20)
     ap.add_argument("--guidance_scale", type=float, default=5.0)
     ap.add_argument("--steps", type=int, default=100)
@@ -89,9 +85,12 @@ def main(argv=None):
     mods = GuidanceModules.sd21_config(num_words=args.num_words)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    input_ids = jnp.asarray(tokenize(PROMPT_TEMPLATE))
-    uncond_ids = jnp.asarray(tokenize(""))
-    inj_index = jnp.asarray([INJ_INDEX], jnp.int32)
+    ids, uids, inj = tokenize_template(
+        args.template, args.placeholder_token,
+        tokenizer_path=args.tokenizer_path)
+    input_ids = jnp.asarray(ids)
+    uncond_ids = jnp.asarray(uids)
+    inj_index = jnp.asarray([inj], jnp.int32)
 
     if args.pretrained_params:
         import orbax.checkpoint as ocp

@@ -130,10 +130,24 @@ def main(argv=None):
                                                 "img_channel", 3))))
     params = jax.jit(model.init)(key, dummy, dummy)["params"]
 
+    # EMA semantics (reference base_model.py:108-126: train.ema_decay,
+    # default 0 = off; validation/saving use the EMA net when on)
+    ema_decay = float(opt["train"].get("ema_decay", 0) or 0)
+
+    ema_params = None
     load_path = opt["path"].get("pretrain_network_g")
     if load_path and os.path.exists(str(load_path)):
         params = load_torch_checkpoint(load_path)
         logger.info(f"loaded pretrained params from {load_path}")
+        if ema_decay > 0:
+            # reference :121-125 — load params_ema into the EMA net when
+            # present, else fall back to a weight copy (model_ema(0))
+            try:
+                ema_params = load_torch_checkpoint(
+                    load_path, key="params_ema", strict_key=True)
+                logger.info("loaded params_ema into EMA state")
+            except KeyError:
+                logger.info("params_ema not in checkpoint, using params copy")
 
     # DINO matcher (optional — identity center-crop fallback without weights)
     dino_path = opt["path"].get("pretrain_dino")
@@ -161,9 +175,9 @@ def main(argv=None):
         grad_clip=0.01 if topt.get("use_grad_clip", True) else None,
         param_fix_iterations=topt.get("param_fix_iterations", 0),
     )
-    state = create_train_state(params, tx)
+    state = create_train_state(params, tx, ema_params=ema_params)
     loss_fn = build_loss(topt["pixel_opt"])
-    step_fn = make_train_step(model.apply, loss_fn, tx)
+    step_fn = make_train_step(model.apply, loss_fn, tx, ema_decay=ema_decay)
 
     # checkpointing / auto-resume (reference :137-186)
     ckpt = CheckpointManager(opt["path"]["training_states"])
@@ -249,7 +263,7 @@ def main(argv=None):
                                       current_iter)
                 if val_loader is not None and current_iter % val_freq == 0:
                     validate(model, state, val_loader, opt, logger, writer,
-                             current_iter)
+                             current_iter, use_ema=ema_decay > 0)
                 t_data = t_iter = time.time()
             epoch += 1
 
@@ -286,31 +300,52 @@ def _dump_lher(model, state, batch, opt, current_iter):
                                f"{current_iter:06d}.png"))
 
 
-def validate(model, state, val_loader, opt, logger, writer, current_iter):
-    """Rank-0 whole-image validation with window padding (reference
-    pad_test, image_restoration_ref_model.py:286-298)."""
+def validate(model, state, val_loader, opt, logger, writer, current_iter,
+             use_ema=False):
+    """Rank-0 whole-image validation, reference protocol
+    (image_restoration_ref_model.py:286-298, 325-409): iterates the FULL
+    val set by default (cap with val.max_minibatch for smoke runs only);
+    when val.window_size is set, applies the actual pad_test — lq
+    reflect-padded on the right/bottom to a window_size multiple, output
+    cropped back — for archs whose internal padding differs; uses the EMA
+    net when ema_decay > 0 (:303)."""
     if jax.process_index() != 0:
         return
-    eval_step = make_eval_step(model.apply, use_ema=False)
+    eval_step = make_eval_step(model.apply, use_ema=use_ema)
+    val_opt = opt.get("val", {}) or {}
+    max_n = val_opt.get("max_minibatch")  # None -> whole val set
+    window = int(val_opt.get("window_size", 0) or 0)
+    scale = int(opt.get("scale", 1))
     psnrs, ssims = [], []
-    max_n = int(opt.get("val", {}).get("max_minibatch", 8))
     for i, batch in enumerate(val_loader):
-        if i >= max_n:
+        if max_n is not None and i >= int(max_n):
             break
+        lq = np.asarray(batch["lq"])
+        pad_h = pad_w = 0
+        if window:
+            pad_h = -lq.shape[1] % window
+            pad_w = -lq.shape[2] % window
+            if pad_h or pad_w:
+                lq = np.pad(lq, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                            "reflect")
         out = eval_step(state, {
-            "lq": jnp.asarray(batch["lq"]),
+            "lq": jnp.asarray(lq),
             "ref": jnp.asarray(batch["ref"]),
         })
         if isinstance(out, (list, tuple)):
             out = out[-1]
-        pred = np.clip(np.asarray(out)[0], 0, 1)
+        out = np.asarray(out)
+        out = out[:, : out.shape[1] - pad_h * scale,
+                  : out.shape[2] - pad_w * scale]
+        pred = np.clip(out[0], 0, 1)
         gt = np.asarray(batch["gt"])[0]
         psnrs.append(calculate_psnr(pred * 255, gt * 255, crop_border=0))
         ssims.append(calculate_ssim(pred * 255, gt * 255, crop_border=0))
     if psnrs:
         logger.info(
             f"val @ {current_iter}: psnr {np.mean(psnrs):.4f} "
-            f"ssim {np.mean(ssims):.4f}")
+            f"ssim {np.mean(ssims):.4f} ({len(psnrs)} images"
+            f"{', ema' if use_ema else ''})")
         writer.write(current_iter, {"val/psnr": np.mean(psnrs),
                                     "val/ssim": np.mean(ssims)})
 

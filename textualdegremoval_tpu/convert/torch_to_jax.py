@@ -154,17 +154,22 @@ def convert_state_dict(state_dict: Mapping[str, Any]) -> dict:
     return traverse_util.unflatten_dict(flat)
 
 
-def load_torch_checkpoint(path: str, key: str = "params") -> dict:
+def load_torch_checkpoint(path: str, key: str = "params",
+                          strict_key: bool = False) -> dict:
     """Read a reference ``net_g_*.pth`` and return Flax params.
 
     ``key`` selects 'params' or 'params_ema' (reference
     base_model.py:281-309 semantics, including raw state dicts without the
-    wrapper)."""
+    wrapper).  With ``strict_key`` a missing wrapper key raises KeyError
+    instead of treating the whole file as a raw state dict — used when the
+    caller needs to distinguish "no params_ema saved" from "raw dict"."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(ckpt, dict) and key in ckpt:
         ckpt = ckpt[key]
+    elif strict_key:
+        raise KeyError(f"{key!r} not in checkpoint {path}")
     return convert_state_dict(ckpt)
 
 

@@ -307,6 +307,25 @@ class MASAEncoder(nn.Module):
         return feats
 
 
+def masa_encode_pair(enc: MASAEncoder, inp, ref):
+    """Run the shared MASA encoder over lq and ref.
+
+    Same-shape inputs (training: ref is cropped to the lq shape) run as ONE
+    batched tower pass — half the kernel launches, full MXU batch.  When the
+    shapes differ (whole-image eval with a full-size reference, the
+    reference's nonpad_test path, image_restoration_ref_model.py:299-316)
+    the encoder runs twice sharing parameters, exactly like the reference's
+    two masa_enc calls (network_nafnet_guided_arch.py:617-618).
+
+    Returns (feat_lq_pyramid, feat_ref_pyramid), both shallow->deep.
+    """
+    if inp.shape == ref.shape:
+        feats = enc(jnp.concatenate([inp, ref], axis=0))
+        b = inp.shape[0]
+        return [f[:b] for f in feats], [f[b:] for f in feats]
+    return enc(inp), enc(ref)
+
+
 class MASAModule(nn.Module):
     """Shared-encoder MASA matcher: extracts pyramids from lq and ref and
     returns the warped ref pyramid (shallow->deep) aligned to lq.

@@ -15,7 +15,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from textualdegremoval_tpu.models.layers import NAFBlock, MASAEncoder
+from textualdegremoval_tpu.models.layers import NAFBlock, MASAEncoder, masa_encode_pair
 from textualdegremoval_tpu.ops import pad_to_multiple, masa_match_and_warp
 from textualdegremoval_tpu.ops.tlc import tlc_kernel_size
 
@@ -124,9 +124,9 @@ class NAFNetRefFusion(nn.Module):
         # 5-level pyramid: deepest stride 16 == trunk padder
         enc = MASAEncoder(self.nf, self.ext_n_blocks, n_levels + 1,
                           self.dtype, name="masa_enc")
-        feats = enc(jnp.concatenate([x_in, ref_in], axis=0))
+        feat_lq, feat_ref = masa_encode_pair(enc, x_in, ref_in)
         warp = masa_match_and_warp(
-            feats[-1][: x_in.shape[0]], [f[x_in.shape[0]:] for f in feats],
+            feat_lq[-1], feat_ref,
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),

@@ -25,6 +25,7 @@ from textualdegremoval_tpu.models.layers import (
     Downsample,
     Upsample,
     MASAEncoder,
+    masa_encode_pair,
 )
 from textualdegremoval_tpu.ops import pad_to_multiple, masa_match_and_warp
 
@@ -220,9 +221,9 @@ class PromptIRRefFusion(nn.Module):
         ref = pad_to_multiple(ref_img, pad)
         enc = MASAEncoder(self.nf, self.ext_n_blocks, 4, self.dtype,
                           name="masa_enc")
-        feats = enc(jnp.concatenate([inp, ref], axis=0))
+        feat_lq, feat_ref = masa_encode_pair(enc, inp, ref)
         warp = masa_match_and_warp(
-            feats[-1][: inp.shape[0]], [f[inp.shape[0]:] for f in feats],
+            feat_lq[-1], feat_ref,
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),

@@ -22,6 +22,7 @@ from textualdegremoval_tpu.models.layers import (
     Downsample,
     Upsample,
     MASAEncoder,
+    masa_encode_pair,
 )
 from textualdegremoval_tpu.ops import pad_to_multiple, masa_match_and_warp
 
@@ -162,12 +163,11 @@ class RestormerRefFusion(nn.Module):
         # checkpoints (masa_enc.conv_L1. ...) convert mechanically.
         enc = MASAEncoder(self.nf, self.ext_n_blocks, 4, self.dtype,
                           name="masa_enc")
-        # one batched tower pass over [lq; ref] instead of two
-        feats = enc(jnp.concatenate([inp, ref], axis=0))
-        feat_lq_deep = feats[-1][: inp.shape[0]]
-        feat_ref = [f[inp.shape[0]:] for f in feats]
+        # one batched tower pass over [lq; ref] when shapes match (training),
+        # two shared-param passes otherwise (whole-image eval, full-size ref)
+        feat_lq, feat_ref = masa_encode_pair(enc, inp, ref)
         warp = masa_match_and_warp(
-            feat_lq_deep, feat_ref,
+            feat_lq[-1], feat_ref,
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),

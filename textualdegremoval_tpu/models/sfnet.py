@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from textualdegremoval_tpu.models.layers import MASAEncoder
+from textualdegremoval_tpu.models.layers import MASAEncoder, masa_encode_pair
 from textualdegremoval_tpu.ops import pad_to_multiple, masa_match_and_warp
 from textualdegremoval_tpu.ops.tlc import local_avg_pool
 from textualdegremoval_tpu.ops.masa import unfold_nhwc
@@ -380,9 +380,9 @@ class SFNetRefFusion(nn.Module):
         ref = pad_to_multiple(ref_img, pad)
         enc = MASAEncoder(self.nf, self.ext_n_blocks, 3, self.dtype,
                           name="masa_enc")
-        feats = enc(jnp.concatenate([inp, ref], axis=0))
+        feat_lq, feat_ref = masa_encode_pair(enc, inp, ref)
         warp = masa_match_and_warp(
-            feats[-1][: inp.shape[0]], [f[inp.shape[0]:] for f in feats],
+            feat_lq[-1], feat_ref,
             lr_block_size=self.lr_block_size,
             ref_down_block_size=self.ref_down_block_size,
             psize=self.psize, dilations=tuple(self.dilations),

@@ -102,12 +102,17 @@ def _mask_while(mask, fix_iters: int) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def create_train_state(params, tx, model_state=None) -> TrainState:
+def create_train_state(params, tx, model_state=None,
+                       ema_params=None) -> TrainState:
+    """ema_params: pre-loaded EMA tree (a pretrain checkpoint's params_ema,
+    reference base_model.py:121-125); defaults to a copy of params (the
+    reference's model_ema(0) weight copy)."""
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        ema_params=(ema_params if ema_params is not None
+                    else jax.tree_util.tree_map(jnp.copy, params)),
         model_state=model_state or {},
     )
 
@@ -129,6 +134,10 @@ def make_train_step(
     remat: rematerialize the forward during backward (jax.checkpoint) —
     trades ~30% step FLOPs for activation memory, enabling the reference's
     batch-8 384px protocol per chip at full resolution.
+    ema_decay: reference train.ema_decay semantics (base_model.py:108-126,
+    default 0 = EMA off).  When <= 0 the state's ema_params tree simply
+    aliases params each step (no extra arrays, no flops), so checkpoints
+    and eval paths stay structurally identical either way.
     """
     if remat:
         apply_fn = jax.checkpoint(
@@ -160,10 +169,13 @@ def make_train_step(
             compute_loss, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = jax.tree_util.tree_map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params, params,
-        )
+        if ema_decay > 0:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params, params,
+            )
+        else:
+            ema = params  # EMA off: ema tree aliases the live params
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema,
                                model_state=model_state)
