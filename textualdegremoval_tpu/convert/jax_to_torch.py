@@ -127,6 +127,50 @@ def convert_params_to_torch(
     return out
 
 
+def convert_mapper_to_torch(params: Mapping[str, Any], num_words: int,
+                            prefix: str = "mapping",
+                            with_patch: bool = True,
+                            global_kv: Mapping[str, Mapping[str, Any]]
+                            | None = None) -> dict[str, np.ndarray]:
+    """Inverse of tower_maps.convert_mapper (+ global K/V re-attachment):
+    our stacked WordMLPs tree -> the reference ``mapper_<step>.pt`` layout
+    (per-word Sequentials ``mapping_{i}.{0,1,3,4,6,7,9}``, plus
+    ``<layer>_to_k/v.weight`` attributes, main_train_i2t_mapping.py:40-81,
+    573-612).  The mappers are the trainable pipeline-A artifacts, so this
+    is the export path for mappers trained in this framework; the frozen SD
+    towers never need exporting (their source checkpoints are canonical).
+    """
+    from textualdegremoval_tpu.convert.tower_maps import (
+        _SEQ_LINEARS, _SEQ_LNS,
+    )
+
+    flat = {"/".join(k): np.asarray(v) for k, v in
+            traverse_util.flatten_dict(params).items()}
+    out: dict[str, np.ndarray] = {}
+    branches = [prefix] + ([f"{prefix}_patch"] if with_patch else [])
+    for branch in branches:
+        dst = "mapping_patch" if branch.endswith("_patch") else "mapping"
+        for seq_i, name in _SEQ_LINEARS.items():
+            w = flat[f"{dst}/{name}_kernel"]  # (num_words, in, out)
+            b = flat[f"{dst}/{name}_bias"]
+            for i in range(num_words):
+                out[f"{branch}_{i}.{seq_i}.weight"] = np.ascontiguousarray(
+                    w[i].T)
+                out[f"{branch}_{i}.{seq_i}.bias"] = b[i]
+        for seq_i, name in _SEQ_LNS.items():
+            w = flat[f"{dst}/{name}_weight"]
+            b = flat[f"{dst}/{name}_bias"]
+            for i in range(num_words):
+                out[f"{branch}_{i}.{seq_i}.weight"] = w[i]
+                out[f"{branch}_{i}.{seq_i}.bias"] = b[i]
+    if global_kv:
+        for layer_path, kv in global_kv.items():
+            for which, wmat in kv.items():  # 'to_k'/'to_v', (in, out)
+                out[f"{layer_path}_{which}.weight"] = np.ascontiguousarray(
+                    np.asarray(wmat).T)
+    return out
+
+
 def save_torch_checkpoint(variables, template_sd, path: str,
                           ema_variables=None) -> None:
     """Write a reference-format ``net_g_*.pth``: ``{'params': sd}`` plus
