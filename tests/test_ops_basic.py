@@ -92,6 +92,49 @@ def _torch_mdta(q, k, v, temp):
     return attn @ v
 
 
+class TestDWConvShift:
+    """ops.dwconv shift formulation vs the conv emitter (torch oracle) and
+    param-compatibility with nn.Conv (same kernel works in both)."""
+
+    @pytest.mark.parametrize("ks", [3, 5])
+    def test_matches_torch_depthwise(self, ks):
+        from textualdegremoval_tpu.ops.dwconv import dwconv_shift
+
+        rng = np.random.default_rng(0)
+        c = 12
+        x = rng.standard_normal((2, 9, 11, c)).astype(np.float32)
+        k = rng.standard_normal((ks, ks, 1, c)).astype(np.float32)
+        b = rng.standard_normal(c).astype(np.float32)
+        got = np.asarray(dwconv_shift(jnp.asarray(x), jnp.asarray(k),
+                                      jnp.asarray(b)))
+        tw = torch.from_numpy(k[:, :, 0, :].transpose(2, 0, 1)[:, None])
+        want = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)), tw,
+                        torch.from_numpy(b), padding=ks // 2, groups=c)
+        np.testing.assert_allclose(got, want.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-5)
+
+    def test_same_params_as_nn_conv(self):
+        import jax
+        import flax.linen as fnn
+        from textualdegremoval_tpu.models.layers import DWConv
+
+        c = 8
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, 6, 6, c)), jnp.float32)
+        ref_mod = fnn.Conv(c, (3, 3), padding=1, feature_group_count=c,
+                           use_bias=True)
+        ours = DWConv(c, 3, use_bias=True)
+        p = ref_mod.init(jax.random.PRNGKey(0), x)
+        # identical param structure -> checkpoints interchangeable
+        q = ours.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(p) == \
+            jax.tree_util.tree_structure(q)
+        assert p["params"]["kernel"].shape == q["params"]["kernel"].shape
+        np.testing.assert_allclose(np.asarray(ours.apply(p, x)),
+                                   np.asarray(ref_mod.apply(p, x)),
+                                   atol=1e-5)
+
+
 class TestMDTA:
     def test_matches_oracle(self):
         b, h, c, l = 2, 3, 8, 16

@@ -18,47 +18,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-import cv2
 
 from textualdegremoval_tpu.diffusion.pipeline import (
     GuidanceModules, make_guidance_optimizer, make_guidance_train_step,
 )
-from textualdegremoval_tpu.data.pairing import scan_images
-from textualdegremoval_tpu.data.datasets import imread_f32
-from textualdegremoval_tpu.cli.generate_reference import (
-    tokenize, PROMPT_TEMPLATE, INJ_INDEX, CLIP_MEAN, CLIP_STD,
+from textualdegremoval_tpu.diffusion.tokenizer import tokenize_template
+from textualdegremoval_tpu.data.guidance import (
+    UnpairedLQHQDataset, PairedLQHQDataset,
 )
+from textualdegremoval_tpu.data import DataLoader
+from textualdegremoval_tpu.data.sampler import EnlargedSampler
+from textualdegremoval_tpu.cli.generate_reference import PROMPT_TEMPLATE
 from textualdegremoval_tpu.utils.logger import get_root_logger
 
 
-def make_batch(paths, indices, size, input_ids, hq_paths=None):
-    """UnpairedLQHQDataset equivalent: random 512 crop -> SD view in [-1,1]
-    + CLIP-normalized 224 view (data/guidance_generation_dataset.py:86-265).
-    With hq_paths (TR stage, PairedLQHQDataset :269-552): the CLIP view is
-    the *degraded* crop, the SD target the aligned *clean* crop."""
-    sd_views, clip_views = [], []
-    rng = np.random.default_rng()
-    for i in indices:
-        img = imread_f32(paths[i % len(paths)])
-        hq = imread_f32(hq_paths[i % len(hq_paths)]) if hq_paths else img
-        h, w = img.shape[:2]
-        if min(h, w) < size:
-            img = cv2.resize(img, (max(size, w), max(size, h)))
-            hq = cv2.resize(hq, (max(size, w), max(size, h)))
-            h, w = img.shape[:2]
-        top = rng.integers(0, h - size + 1)
-        left = rng.integers(0, w - size + 1)
-        crop = img[top : top + size, left : left + size]
-        hq_crop = hq[top : top + size, left : left + size]
-        sd_views.append(hq_crop * 2.0 - 1.0)
-        cv = cv2.resize(crop, (224, 224))
-        clip_views.append((cv - CLIP_MEAN) / CLIP_STD)
-    b = len(indices)
+def _device_batch(batch, input_ids):
+    """Collated host batch (data.guidance datasets through the DataLoader)
+    -> jnp arrays for the train step."""
+    b = batch["pixel_values"].shape[0]
     return {
-        "pixel_values": jnp.asarray(np.stack(sd_views)),
-        "pixel_values_clip": jnp.asarray(np.stack(clip_views)),
+        "pixel_values": jnp.asarray(batch["pixel_values"]),
+        "pixel_values_clip": jnp.asarray(batch["pixel_values_clip"]),
         "input_ids": jnp.tile(jnp.asarray(input_ids), (b, 1)),
-        "inj_index": jnp.full((b,), INJ_INDEX, jnp.int32),
+        "inj_index": jnp.asarray(batch["index"], jnp.int32),
     }
 
 
@@ -84,6 +66,18 @@ def run(stage: str, argv=None):
     ap.add_argument("--save_steps", type=int, default=5000)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num_workers", type=int, default=4)
+    ap.add_argument("--tokenizer_path", default=None,
+                    help="SD checkpoint tokenizer/ dir; omitted -> "
+                         "known-id fallback for the default template")
+    ap.add_argument("--template", default=PROMPT_TEMPLATE)
+    ap.add_argument("--placeholder_token", default="S")
+    ap.add_argument("--sigma_range", type=float, nargs=2, default=(5, 50),
+                    help="TR denoise-synthesis sigma range (no HQ dir)")
+    ap.add_argument("--tiny_debug_towers", action="store_true",
+                    help="use GuidanceModules.small_test_config — "
+                         "infrastructure smoke only (tiny vocab: real "
+                         "token ids are folded into range)")
     ap.add_argument("--validation_samples", action="store_true",
                     help="at each save, DDIM-sample a reference from the "
                          "first batch image and save input|sample JPGs "
@@ -92,7 +86,9 @@ def run(stage: str, argv=None):
     args = ap.parse_args(argv)
 
     logger = get_root_logger()
-    mods = GuidanceModules.sd21_config(num_words=args.num_words)
+    mods = (GuidanceModules.small_test_config(num_words=args.num_words)
+            if args.tiny_debug_towers
+            else GuidanceModules.sd21_config(num_words=args.num_words))
 
     import orbax.checkpoint as ocp
 
@@ -110,29 +106,69 @@ def run(stage: str, argv=None):
     step_fn = make_guidance_train_step(mods, tx, stage)
     opt_state = tx.init(params)
 
-    paths = scan_images(args.train_data_dir)
-    hq_paths = scan_images(args.train_data_dir_hq) \
-        if args.train_data_dir_hq else None
-    input_ids = tokenize(PROMPT_TEMPLATE)
-    rng = jax.random.PRNGKey(args.seed)
-    idx_rng = np.random.default_rng(args.seed)
+    # data: the tested guidance dataset classes through the DataLoader
+    # (reference UnpairedLQHQDataset / PairedLQHQDataset semantics:
+    # aspect-preserving min-side resize before the random square crop,
+    # seeded; guidance_generation_dataset.py:86-552)
+    input_ids, _, inj_index = tokenize_template(
+        args.template, args.placeholder_token,
+        tokenizer_path=args.tokenizer_path)
+    clip_size = 224
+    if args.tiny_debug_towers:
+        vocab = mods.text_encoder.vocab_size
+        pos = mods.text_encoder.max_positions
+        input_ids = (input_ids[:, :pos] % vocab).astype(np.int32)
+        clip_size = mods.image_encoder.image_size
+    seed = args.seed + jax.process_index()
+    if stage == "tr":
+        if args.train_data_dir_hq:
+            task_roots = {"paired": (args.train_data_dir,
+                                     args.train_data_dir_hq)}
+        else:  # denoise synthesis from clean images
+            task_roots = {"denoise": (None, args.train_data_dir)}
+        dataset = PairedLQHQDataset(
+            task_roots, size=args.resolution, placeholder_index=inj_index,
+            sigma_range=tuple(args.sigma_range), seed=seed,
+            clip_size=clip_size)
+    else:
+        dataset = UnpairedLQHQDataset(
+            args.train_data_dir, size=args.resolution,
+            placeholder_index=inj_index, seed=seed, clip_size=clip_size)
 
+    sampler = EnlargedSampler(
+        len(dataset), num_replicas=jax.process_count(),
+        rank=jax.process_index(),
+        ratio=max(1, -(-args.train_batch_size * jax.process_count()
+                       // max(len(dataset), 1))))
+    loader = DataLoader(dataset, args.train_batch_size, sampler=sampler,
+                        num_workers=args.num_workers, drop_last=True)
+
+    rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
-    for step in range(args.max_train_steps):
-        indices = idx_rng.integers(0, len(paths), args.train_batch_size)
-        batch = make_batch(paths, indices, args.resolution, input_ids,
-                           hq_paths)
-        rng, srng = jax.random.split(rng)
-        params, opt_state, loss = step_fn(params, opt_state, batch, srng)
-        if step % 100 == 0:
-            logger.info(f"[{stage}] step {step} loss {float(loss):.5f}")
-        if (step + 1) % args.save_steps == 0 and jax.process_index() == 0:
-            ckptr.save(os.path.join(os.path.abspath(args.output_dir),
-                                    f"{stage}_params_{step + 1}"),
-                       jax.device_get(params), force=True)
-            if args.validation_samples:
-                _save_sample_grid(mods, params, batch, args, stage, step + 1,
-                                  srng)
+    step = 0
+    epoch = 0
+    while step < args.max_train_steps:
+        sampler.set_epoch(epoch)
+        for host_batch in loader:
+            if step >= args.max_train_steps:
+                break
+            batch = _device_batch(host_batch, input_ids)
+            rng, srng = jax.random.split(rng)
+            params, opt_state, loss = step_fn(params, opt_state, batch, srng)
+            if step % 100 == 0:
+                logger.info(f"[{stage}] step {step} loss {float(loss):.5f}")
+            step += 1
+            if step % args.save_steps == 0 and jax.process_index() == 0:
+                ckptr.save(os.path.join(os.path.abspath(args.output_dir),
+                                        f"{stage}_params_{step}"),
+                           jax.device_get(params), force=True)
+                # async save: block before continuing (a process exit with
+                # the write still in flight loses the checkpoint)
+                ckptr.wait_until_finished()
+                if args.validation_samples:
+                    _save_sample_grid(mods, params, batch, args, stage,
+                                      step, srng)
+        epoch += 1
     return params
 
 
@@ -142,7 +178,9 @@ def _save_sample_grid(mods, params, batch, args, stage, step, rng):
     from textualdegremoval_tpu.diffusion.pipeline import generate_reference
     from textualdegremoval_tpu.utils.image import tensor2img, imwrite
 
-    uncond_ids = tokenize("")
+    uncond_ids = tokenize_template(
+        args.template, args.placeholder_token,
+        tokenizer_path=args.tokenizer_path)[1]
     img = generate_reference(
         mods, params, batch["pixel_values_clip"][:1],
         batch["input_ids"][:1], jnp.asarray(uncond_ids),

@@ -25,8 +25,8 @@ CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def clip_view(img: np.ndarray) -> np.ndarray:
-    v = cv2.resize(img, (224, 224))
+def clip_view(img: np.ndarray, size: int = 224) -> np.ndarray:
+    v = cv2.resize(img, (size, size))
     return (v - CLIP_MEAN) / CLIP_STD
 
 
@@ -44,9 +44,11 @@ def _random_square_crop(img, size, rng):
 
 class UnpairedLQHQDataset:
     def __init__(self, data_root: str, size: int = 512,
-                 placeholder_index: int = 5, seed=None):
+                 placeholder_index: int = 5, seed=None,
+                 clip_size: int = 224):
         self.paths = scan_images(data_root)
         self.size = size
+        self.clip_size = clip_size
         self.placeholder_index = placeholder_index
         self.rng = random.Random(seed)
 
@@ -58,7 +60,7 @@ class UnpairedLQHQDataset:
         crop = _random_square_crop(img, self.size, self.rng)
         return {
             "pixel_values": crop * 2.0 - 1.0,
-            "pixel_values_clip": clip_view(crop),
+            "pixel_values_clip": clip_view(crop, self.clip_size),
             "index": self.placeholder_index,
         }
 
@@ -69,7 +71,7 @@ class PairedLQHQDataset:
 
     def __init__(self, task_roots: dict[str, tuple[str | None, str]],
                  size: int = 512, placeholder_index: int = 5,
-                 sigma_range=(5, 50), seed=None):
+                 sigma_range=(5, 50), seed=None, clip_size: int = 224):
         self.tasks = sorted(task_roots)
         self.roots = {
             t: (scan_images(lq) if lq else None, scan_images(hq))
@@ -78,7 +80,11 @@ class PairedLQHQDataset:
         self.size = size
         self.placeholder_index = placeholder_index
         self.sigma_range = sigma_range
+        self.clip_size = clip_size
         self.rng = random.Random(seed)
+        # seeded noise synth (the reference draws from the global
+        # numpy state — non-reproducible runs)
+        self.np_rng = np.random.default_rng(seed)
 
     def __len__(self):
         return max(len(hq) for _, hq in self.roots.values())
@@ -90,8 +96,8 @@ class PairedLQHQDataset:
         if lq_paths is None:  # denoise: synthesize
             crop_hq = _random_square_crop(hq, self.size, self.rng)
             sigma = self.rng.uniform(*self.sigma_range)
-            crop_lq = crop_hq + np.float32(
-                np.random.randn(*crop_hq.shape)) * sigma / 255.0
+            crop_lq = crop_hq + self.np_rng.standard_normal(
+                crop_hq.shape, np.float32) * np.float32(sigma / 255.0)
         else:
             lq = imread_f32(lq_paths[idx % len(lq_paths)])
             # identical crop for the aligned pair
@@ -108,7 +114,7 @@ class PairedLQHQDataset:
             crop_lq = lq[top : top + size, left : left + size]
         return {
             "pixel_values": crop_hq * 2.0 - 1.0,  # clean SD target
-            "pixel_values_clip": clip_view(crop_lq),  # degraded CLIP view
+            "pixel_values_clip": clip_view(crop_lq, self.clip_size),
             "index": self.placeholder_index,
             "task": task,
         }

@@ -55,6 +55,45 @@ class LayerNorm2d(nn.Module):
         return layer_norm_2d(x, weight, bias)
 
 
+class DWConv(nn.Module):
+    """Drop-in for ``nn.Conv(features, (K, K), feature_group_count=
+    features)``: identical parameters (HWIO kernel (K, K, 1, C), optional
+    bias, same init), but computed as K^2 shifted FMAs (ops.dwconv) — on
+    TPU the depthwise conv emitter's relayout copies were the single
+    largest avoidable traffic source in the flagship (BENCH_NOTES.md)."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    impl: str | None = None  # 'shift' | 'conv' | None -> $TDR_DWCONV/'conv'
+
+    @nn.compact
+    def __call__(self, x):
+        impl = self.impl
+        if impl is None:
+            import os
+            impl = os.environ.get("TDR_DWCONV", "conv")
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, 1, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if impl == "shift":
+            from textualdegremoval_tpu.ops.dwconv import dwconv_shift
+
+            return dwconv_shift(x.astype(self.dtype), kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            ((k // 2, k // 2), (k // 2, k // 2)),
+            feature_group_count=self.features,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class MDTAAttention(nn.Module):
     """MDTA transposed channel attention
     (network_restormer_guided_arch.py:246-277).
@@ -78,10 +117,8 @@ class MDTAAttention(nn.Module):
         )
         qkv = nn.Conv(self.dim * 3, (1, 1), use_bias=self.use_bias,
                       dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
-        qkv = nn.Conv(self.dim * 3, (3, 3), padding=1,
-                      feature_group_count=self.dim * 3, use_bias=self.use_bias,
-                      dtype=self.dtype, param_dtype=jnp.float32,
-                      name="qkv_dwconv")(qkv)
+        qkv = DWConv(self.dim * 3, 3, self.use_bias, self.dtype,
+                     name="qkv_dwconv")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -167,10 +204,8 @@ class GDFN(nn.Module):
         x = nn.Conv(hidden * 2, (1, 1), use_bias=self.use_bias,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="project_in")(x)
-        x = nn.Conv(hidden * 2, (3, 3), padding=1,
-                    feature_group_count=hidden * 2, use_bias=self.use_bias,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="dwconv")(x)
+        x = DWConv(hidden * 2, 3, self.use_bias, self.dtype,
+                   name="dwconv")(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = jax.nn.gelu(x1, approximate=False) * x2
         return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias,
@@ -399,8 +434,7 @@ class NAFBlock(nn.Module):
         x = LayerNorm2d(c, name="norm1")(inp)
         x = nn.Conv(dw, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv1")(x)
-        x = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw,
-                    dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)
+        x = DWConv(dw, 3, use_bias=True, dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
         x = SCA(dw // 2, self.tlc_kernel, self.dtype, name="sca")(x)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,

@@ -324,7 +324,13 @@ def masa_transfer(
     iy = index // rx  # (NB, ky, kx) patch-grid coords
     ix = index % rx
 
-    out = jnp.zeros((nb, ky, kx, s * s * c), jnp.float32)
+    # Accumulate in the input dtype when it is a low-precision type: the sum
+    # is of <= psize^2 O(1) values divided by an exact small-int count, so
+    # bf16 accumulation is safe — and it halves the HBM traffic of the 9
+    # gather+add chains, which are the largest MASA instructions at 512 px
+    # (f32 kept under f32 inputs so CPU parity tests are bit-identical).
+    acc_dt = jnp.float32 if dt == jnp.float32 else dt
+    out = jnp.zeros((nb, ky, kx, s * s * c), acc_dt)
     cnt = jnp.zeros((1, ky, kx, 1), jnp.float32)
     for a in range(psize):
         # neighbor cell l = m + half - a; shift index maps by (a - half)
@@ -344,9 +350,9 @@ def masa_transfer(
             ).reshape(nb, ky, kx, s * s * c)
             valid = jnp.zeros((1, ky, kx, 1), jnp.float32)
             valid = valid.at[:, ly0:ly1, lx0:lx1].set(1.0)
-            out = out + sel.astype(jnp.float32) * valid
+            out = out + sel.astype(acc_dt) * valid.astype(acc_dt)
             cnt = cnt + valid
-    out = out / cnt
+    out = (out.astype(jnp.float32) / cnt).astype(acc_dt)
     # (NB, ky, kx, s, s, C) -> (NB, ky*s, kx*s, C)
     out = out.reshape(nb, ky, kx, s, s, c).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(nb, ky * s, kx * s, c)
@@ -354,7 +360,7 @@ def masa_transfer(
         soft_att[..., None].astype(jnp.float32),
         (nb, ky * s, kx * s, 1),
         method="bilinear",
-    )
+    ).astype(acc_dt)
     return (out * att).astype(dt)
 
 

@@ -16,11 +16,26 @@ back, which XLA fuses into neighbouring ops.
 import jax.numpy as jnp
 
 
+def _moments(xf: jnp.ndarray):
+    """(mean, variance) over the channel axis in ONE pass over x.
+
+    ``jnp.var`` lowers to mean(x) followed by mean((x - mu)^2) — two
+    sequential reduce passes over an HBM-resident tensor, because the second
+    reduce's input depends on the first's output.  E[x^2] - E[x]^2 lets XLA
+    compute both reduces from the same read (multi-output fusion), cutting
+    LN traffic from 3 passes to 2 — ~4 GB on the 72 LN instances of the
+    512 px flagship.  f32 throughout; activations are O(1) so the
+    cancellation error is ~1e-7, far under the parity tolerances."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return mu, jnp.maximum(sq - mu * mu, 0.0)
+
+
 def bias_free_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5):
     """x / sqrt(var(x) + eps) * weight, var over channel without mean removal
     of the output (the mean still participates in the variance)."""
     xf = x.astype(jnp.float32)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    _, var = _moments(xf)
     y = xf / jnp.sqrt(var + eps)
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
 
@@ -29,8 +44,7 @@ def with_bias_layer_norm(
     x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5
 ):
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
+    mu, var = _moments(xf)
     y = (xf - mu) / jnp.sqrt(var + eps)
     return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
