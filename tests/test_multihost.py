@@ -82,7 +82,10 @@ def _make_workspace(tmp_path):
 def _run_cli(cfg, workdir, env_extra):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO})
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+                # share compiled programs across the 5 spawned processes —
+                # this host has ONE core, so duplicate compiles serialize
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/tdr_jax_cache"})
     env.update(env_extra)
     return subprocess.Popen(
         [sys.executable, "-m", "textualdegremoval_tpu.cli.train_restoration",
@@ -109,7 +112,9 @@ def test_four_process_cli_matches_single_process(tmp_path):
         })
         for rank in range(4)
     ]
-    outs = [p.communicate(timeout=560)[0] for p in procs]
+    # 4 concurrent tiny-model compiles serialize on this 1-core host; the
+    # first communicate() bears the whole concurrent wait
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
     # rank-0 logs the (globally pmean'd) loss
@@ -121,6 +126,7 @@ def test_four_process_cli_matches_single_process(tmp_path):
     env.update({
         "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/tdr_jax_cache",
     })
     for k in ("RANK", "WORLD_SIZE", "MASTER_ADDR", "MASTER_PORT"):
         env.pop(k, None)

@@ -97,7 +97,41 @@ TASK_TABLE = {
         "nf": 48, "ext_n_blocks": [4, 4, 4, 4],
         "reffusion_n_blocks": [2, 2, 2, 2], "lr_block_size": 8,
     },
+    # dual-pixel defocus deblur: 6-channel lqL+lqR 16-bit input (reference
+    # Restormer dual_pixel_task + Dataset_PairedImageWithRef_DualPixel_16bit)
+    "restormer_dual_pixel_defocus": {
+        "type": "RestormerRefFusion", "inp_channels": 6, "out_channels": 3,
+        "dim": 48, "num_blocks": [4, 6, 6, 8], "num_refinement_blocks": 4,
+        "heads": [1, 2, 4, 8], "ffn_expansion_factor": 2.66, "bias": False,
+        "LayerNorm_type": "WithBias", "dual_pixel_task": True, "nf": 48,
+        "ext_n_blocks": [4, 4, 4, 4], "reffusion_n_blocks": [2, 2, 2, 2],
+        "lr_block_size": 8,
+    },
 }
+
+# keys rewritten by --tiny_debug: same constructor/code path (gray channels,
+# TLC bases, MEFC flags, dual-pixel skip, batch_stats) at toy widths so every
+# task's wiring runs in CI
+_SHRINK_SCALARS = {"dim": 8, "nf": 8, "width": 8, "num_res": 1,
+                   "middle_blk_num": 1, "num_refinement_blocks": 1,
+                   "lr_block_size": 4}
+_SHRINK_LISTS = ("num_blocks", "enc_blk_nums", "dec_blk_nums",
+                 "ext_n_blocks", "reffusion_n_blocks")
+
+
+def shrink_for_smoke(opt: dict) -> dict:
+    o = dict(opt)
+    for k, v in _SHRINK_SCALARS.items():
+        if k in o:
+            o[k] = v
+    for k in _SHRINK_LISTS:
+        if k in o:
+            o[k] = [1] * len(o[k])
+    if "heads" in o:
+        o["heads"] = [1, 1, 2, 2][: len(o["heads"])]
+    if o["type"] == "SFNetRefFusion":
+        o["base_channel"] = 8
+    return o
 
 
 def main(argv=None):
@@ -106,14 +140,23 @@ def main(argv=None):
     ap.add_argument("--hqroot", required=True)
     ap.add_argument("--refroot", required=True)
     ap.add_argument("--lqroot", default=None)
+    ap.add_argument("--lqlroot", default=None,
+                    help="dual-pixel tasks: left-view 16-bit inputs")
+    ap.add_argument("--lqrroot", default=None,
+                    help="dual-pixel tasks: right-view 16-bit inputs")
     ap.add_argument("--checkpoint_path", default=None)
     ap.add_argument("--sigma", type=float, default=15)
     ap.add_argument("--max_images", type=int, default=None)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--tiny_debug", action="store_true",
+                    help="shrink the task's network to toy widths "
+                         "(CI smoke: same constructor path, tiny compile)")
     args = ap.parse_args(argv)
 
     opt = dict(TASK_TABLE[args.task])
+    if args.tiny_debug:
+        opt = shrink_for_smoke(opt)
     model = define_network(opt, dtype=getattr(jnp, args.dtype))
 
     hq_paths = scan_images(args.hqroot)
@@ -129,14 +172,22 @@ def main(argv=None):
 
     psnrs, ssims = [], []
     gray = opt.get("inp_channels", 3) == 1
+    dual_pixel = bool(opt.get("dual_pixel_task"))
+    lql_paths = scan_images(args.lqlroot) if args.lqlroot else None
+    lqr_paths = scan_images(args.lqrroot) if args.lqrroot else None
     for i, hq_path in enumerate(hq_paths):
-        hq = imread_f32(hq_path)
+        hq = imread_f32(hq_path, bit16=dual_pixel)
         ref = imread_f32(ref_paths[min(i, len(ref_paths) - 1)])
         if gray:
             import cv2
             hq = cv2.cvtColor(hq, cv2.COLOR_RGB2GRAY)[..., None]
             ref = cv2.cvtColor(ref, cv2.COLOR_RGB2GRAY)[..., None]
-        if lq_paths[i] is None:
+        if dual_pixel:
+            # 6-channel lqL+lqR 16-bit pair (reference DP dataset semantics)
+            lq = np.concatenate([imread_f32(lql_paths[i], bit16=True),
+                                 imread_f32(lqr_paths[i], bit16=True)],
+                                axis=-1)
+        elif lq_paths[i] is None:
             rng = np.random.RandomState(0)  # deterministic eval protocol
             lq = hq + rng.randn(*hq.shape).astype(np.float32) * args.sigma / 255.0
         else:

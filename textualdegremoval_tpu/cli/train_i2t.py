@@ -158,14 +158,16 @@ def run(stage: str, argv=None):
             if step % 100 == 0:
                 logger.info(f"[{stage}] step {step} loss {float(loss):.5f}")
             step += 1
-            if step % args.save_steps == 0 and jax.process_index() == 0:
+            # Orbax saves are collective — every process must call (the
+            # primary host does the writing); rank-0 gating deadlocks
+            if step % args.save_steps == 0:
                 ckptr.save(os.path.join(os.path.abspath(args.output_dir),
                                         f"{stage}_params_{step}"),
                            jax.device_get(params), force=True)
                 # async save: block before continuing (a process exit with
                 # the write still in flight loses the checkpoint)
                 ckptr.wait_until_finished()
-                if args.validation_samples:
+                if args.validation_samples and jax.process_index() == 0:
                     _save_sample_grid(mods, params, batch, args, stage,
                                       step, srng)
         epoch += 1

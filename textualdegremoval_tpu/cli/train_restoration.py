@@ -256,7 +256,11 @@ def main(argv=None):
                          float(ref_sched(current_iter))],
                         {k: float(v) for k, v in metrics.items()},
                         iter_time, data_time)
-                if current_iter % save_freq == 0 and jax.process_index() == 0:
+                if current_iter % save_freq == 0:
+                    # Orbax saves are COLLECTIVE: every process must call
+                    # (it barriers internally and writes from the primary
+                    # host).  Gating on process 0 — the reference's
+                    # torch.save pattern — deadlocks the gloo/ICI barrier.
                     ckpt.save_state(jax.device_get(state), current_iter)
                     ckpt.save_network(jax.device_get(state.params),
                                       jax.device_get(state.ema_params),
@@ -267,10 +271,10 @@ def main(argv=None):
                 t_data = t_iter = time.time()
             epoch += 1
 
-    if jax.process_index() == 0:
-        ckpt.save_state(jax.device_get(state), current_iter)
-        ckpt.save_network(jax.device_get(state.params),
-                          jax.device_get(state.ema_params), current_iter)
+    # collective save (see note above)
+    ckpt.save_state(jax.device_get(state), current_iter)
+    ckpt.save_network(jax.device_get(state.params),
+                      jax.device_get(state.ema_params), current_iter)
     logger.info("training done")
     return state
 

@@ -13,7 +13,11 @@ import math
 import jax.numpy as jnp
 
 # BT.601 RGB->Y coefficients (reference PSNRLoss toY path, losses.py:94)
-_Y_COEF = jnp.asarray([65.481, 128.553, 24.966])
+# plain tuple, converted at trace time: a module-level jnp.asarray would
+# initialize the XLA backend at import, which breaks
+# jax.distributed.initialize in multi-host CLIs (must run before any
+# backend-initializing JAX call)
+_Y_COEF = (65.481, 128.553, 24.966)
 
 
 def _reduce(x, reduction):
@@ -44,8 +48,9 @@ def psnr_loss(pred, target, loss_weight=1.0, to_y=False, reduction="mean"):
     pred/target in [0,1], NHWC."""
     assert reduction == "mean"
     if to_y:
-        pred = (pred * _Y_COEF).sum(-1, keepdims=True) + 16.0
-        target = (target * _Y_COEF).sum(-1, keepdims=True) + 16.0
+        coef = jnp.asarray(_Y_COEF, pred.dtype)
+        pred = (pred * coef).sum(-1, keepdims=True) + 16.0
+        target = (target * coef).sum(-1, keepdims=True) + 16.0
         pred, target = pred / 255.0, target / 255.0
     scale = 10.0 / math.log(10.0)
     per_img = jnp.log(jnp.mean(jnp.square(pred - target), axis=(1, 2, 3)) + 1e-8)

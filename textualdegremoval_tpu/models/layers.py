@@ -353,7 +353,16 @@ def masa_encode_pair(enc: MASAEncoder, inp, ref):
     two masa_enc calls (network_nafnet_guided_arch.py:617-618).
 
     Returns (feat_lq_pyramid, feat_ref_pyramid), both shallow->deep.
+
+    Dual-pixel: the 6-channel lqL+lqR input meets a 3-channel reference.
+    The reference code ships broken here (masa_enc is built with
+    in_chl=inp_channels=6 but Dataset_*_DualPixel_16bit yields a 3-channel
+    ref — the ref pass cannot run, §2.5 defect family); the evident intent
+    is realized by viewing the clean reference as identical left/right
+    views (zero defocus disparity), so it flows through the same encoder.
     """
+    if ref.shape[-1] * 2 == inp.shape[-1]:
+        ref = jnp.concatenate([ref, ref], axis=-1)
     if inp.shape == ref.shape:
         feats = enc(jnp.concatenate([inp, ref], axis=0))
         b = inp.shape[0]

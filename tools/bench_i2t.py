@@ -1,0 +1,115 @@
+"""Measure the I2T mapper training step on the real chip (BASELINE item 4).
+
+Reference protocol: main_train_i2t_mapping.py batch 4 + grad-accum 4 at
+512 px, frozen SD 2.1 UNet/VAE/CLIP towers, trainable mapper + UNet global
+K/V.  This times OUR jitted train step (diffusion/pipeline.py
+make_guidance_train_step) with random-init towers at the real sizes — the
+arithmetic is identical with real weights.
+
+Protocol: device-side chain of ITERS steps via lax.fori_loop carrying
+(params, opt_state), fetched once (the relay adds ~28.5 ms per host fetch;
+see BENCH_NOTES.md).  Prints one JSON line:
+  {"metric": "i2t_train_step_512px_b4", "value": <ms>, "unit": "ms/step"}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 4
+SIZE = 512
+ITERS = 5
+REPEATS = 3
+
+
+def main():
+    from textualdegremoval_tpu.diffusion.pipeline import (
+        GuidanceModules, diffusion_loss, make_guidance_optimizer,
+    )
+    import optax
+
+    mods = GuidanceModules.sd21_config(num_words=20)
+    key = jax.random.PRNGKey(0)
+
+    n_patches = 1 + (224 // 14) ** 2
+    ids = jnp.ones((BATCH, 77), jnp.int32)
+    batch = {
+        "pixel_values": jax.random.normal(
+            key, (BATCH, SIZE, SIZE, 3), jnp.float32),
+        "pixel_values_clip": jax.random.normal(
+            key, (BATCH, 224, 224, 3), jnp.float32),
+        "input_ids": ids,
+        "inj_index": jnp.full((BATCH,), 5, jnp.int32),
+    }
+
+    print("initializing towers (random weights, real sizes)...",
+          file=sys.stderr)
+    dummy_lat = jnp.zeros((1, SIZE // 8, SIZE // 8, 4), jnp.float32)
+    params = {
+        "image_encoder": jax.jit(mods.image_encoder.init)(
+            key, batch["pixel_values_clip"][:1])["params"],
+        "mapper": mods.mapper.init(
+            key, jnp.zeros((1, n_patches, 1280)))["params"],
+        "clean_mapper": mods.clean_mapper.init(
+            key, jnp.zeros((1, 20, 1024)))["params"],
+        "text_encoder": jax.jit(mods.text_encoder.init)(
+            key, ids[:1])["params"],
+        "unet": jax.jit(mods.unet.init)(
+            key, dummy_lat, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024)))["params"],
+        "vae": jax.jit(mods.vae.init)(
+            key, jnp.zeros((1, SIZE, SIZE, 3)), key)["params"],
+    }
+
+    tx = make_guidance_optimizer(params, "i2t", lr=1e-6)
+    opt_state = tx.init(params)
+
+    def one_step(carry, rng):
+        p, o = carry
+        # same semantics as make_guidance_train_step (the optimizer masks
+        # frozen towers), unjitted so the chain fori_loop can carry it
+        loss, grads = jax.value_and_grad(
+            lambda pp: diffusion_loss(mods, pp, batch, rng))(p)
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return (p, o), loss
+
+    def chain(params, opt_state, rng):
+        def body(i, carry):
+            (p, o), _ = carry
+            return one_step((p, o), jax.random.fold_in(rng, i))
+        out = jax.lax.fori_loop(
+            0, ITERS, body, ((params, opt_state), jnp.zeros((), jnp.float32)))
+        return out[1]
+
+    fn = jax.jit(chain)
+    tiny = jax.jit(lambda x: jnp.sum(x * 2.0))
+    float(tiny(batch["pixel_values"]))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(tiny(batch["pixel_values"]))
+    overhead = (time.perf_counter() - t0) / 5
+
+    rng = jax.random.PRNGKey(1)
+    print("compiling the chained train step...", file=sys.stderr)
+    float(fn(params, opt_state, rng))
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn(params, opt_state, rng))
+        times.append((time.perf_counter() - t0 - overhead) / ITERS)
+    mean = sum(times) / len(times)
+    print(f"i2t train step: {mean * 1e3:.1f} ms (batch {BATCH} @ {SIZE}px, "
+          f"chained x{ITERS}, {REPEATS} repeats)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"i2t_train_step_{SIZE}px_b{BATCH}",
+        "value": round(mean * 1e3, 1),
+        "unit": "ms/step",
+    }))
+
+
+if __name__ == "__main__":
+    main()
