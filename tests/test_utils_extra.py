@@ -123,3 +123,38 @@ class TestGuidanceDatasets:
         ds = ReferenceGenerationDataset(str(roots / "any"), size=64)
         s = ds[0]
         assert s["pixel_values"].shape == (64, 64, 3)
+
+
+class TestModelComplexity:
+    def test_params_and_macs_linear(self):
+        """Known-arithmetic oracle: y = x @ W is exactly
+        2*M*N*K flops, M*N params (reference ptflops accounting,
+        network_nafnet_guided_diffir_arch.py:656-679)."""
+        from textualdegremoval_tpu.utils.profiling import (
+            count_params, model_complexity)
+
+        w = jnp.ones((64, 32))
+        assert count_params({"w": w}) == 64 * 32
+        out = model_complexity(lambda p, x: x @ p["w"], {"w": w},
+                               jnp.ones((8, 64)))
+        assert out["params"] == 64 * 32
+        assert out["flops"] == 2 * 8 * 64 * 32
+        assert out["macs"] == 8 * 64 * 32
+
+    def test_network_complexity_runs(self):
+        """End-to-end on a tiny registered network."""
+        from textualdegremoval_tpu.models import define_network
+        from textualdegremoval_tpu.utils.profiling import model_complexity
+
+        net = define_network({
+            "type": "Restormer", "inp_channels": 3, "out_channels": 3,
+            "dim": 8, "num_blocks": [1, 1, 1, 1],
+            "num_refinement_blocks": 1, "heads": [1, 1, 2, 2],
+            "ffn_expansion_factor": 2, "bias": False,
+            "LayerNorm_type": "WithBias",
+        })
+        x = jnp.zeros((1, 32, 32, 3))
+        params = net.init(jax.random.PRNGKey(0), x)["params"]
+        out = model_complexity(
+            lambda p, a: net.apply({"params": p}, a), params, x)
+        assert out["params"] > 1000 and out["flops"] > 1e6

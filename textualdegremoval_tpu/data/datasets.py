@@ -103,17 +103,25 @@ class PairedImageWithRefDataset:
         self.rng = random.Random(opt.get("seed"))
 
     def _init_packed_io(self, opt: dict) -> bool:
-        """When io_backend is tfrecord, open the three archives and build
-        self.paths from their (identical) key sets; returns whether the
-        packed path is active.  Roots are packed-archive prefixes
-        (data/packed.py); a key-set mismatch across the archives means a
-        misbuilt archive and fails loudly instead of silently shrinking the
-        dataset (the disk path's pairing raises on mismatches too)."""
+        """When io_backend is a keyed archive (tfrecord or lmdb), open the
+        three archives and build self.paths from their (identical) key
+        sets; returns whether the packed path is active.  Roots are packed
+        TFRecord prefixes (data/packed.py) or reference ``*.lmdb`` dirs
+        (data/lmdb_reader.py — readable without the lmdb package); a
+        key-set mismatch across the archives means a misbuilt archive and
+        fails loudly instead of silently shrinking the dataset (the disk
+        path's pairing raises on mismatches too)."""
         io = opt.get("io_backend", {"type": "disk"})
-        self._packed = io.get("type") == "tfrecord"
+        self._packed = io.get("type") in ("tfrecord", "lmdb")
         if not self._packed:
             return False
-        from textualdegremoval_tpu.data.packed import open_packed
+        if io["type"] == "lmdb":
+            from textualdegremoval_tpu.data.lmdb_reader import LmdbKeyedReader
+
+            def open_packed(root):
+                return LmdbKeyedReader(root)
+        else:
+            from textualdegremoval_tpu.data.packed import open_packed
 
         self._readers = {
             "lq": open_packed(opt["lqroot"]),

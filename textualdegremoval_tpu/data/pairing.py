@@ -79,6 +79,53 @@ def tri_paths_from_folder(folders, keys, filename_tmpl="{}"):
     return paths
 
 
+def _lmdb_keys(folder: str) -> list[str]:
+    """Keys of a BasicSR-style lmdb folder: meta_info.txt lines are
+    'name.ext (h,w,c) level'; the lmdb key is the name without extension
+    (reference data/utils_data.py:116-156).  Falls back to a B-tree scan
+    via the pure-Python parser when the sidecar is missing."""
+    meta = osp.join(folder, "meta_info.txt")
+    if osp.exists(meta):
+        with open(meta) as f:
+            return [line.split(".")[0] for line in f if line.strip()]
+    from textualdegremoval_tpu.data.lmdb_reader import PurePythonLmdb
+
+    return PurePythonLmdb(folder).keys()
+
+
+def paired_paths_from_lmdb(folders, keys):
+    """lq/gt pairing by identical lmdb keys (reference
+    data/utils_data.py:94-160).  Returned '{key}_path' entries are lmdb
+    keys, resolved by the FileClient lmdb backend."""
+    in_folder, gt_folder = folders
+    in_key, gt_key = keys
+    if not (in_folder.endswith(".lmdb") and gt_folder.endswith(".lmdb")):
+        raise ValueError(
+            f"{in_key} and {gt_key} folders should both be .lmdb: "
+            f"{in_folder}, {gt_folder}")
+    in_keys, gt_keys = set(_lmdb_keys(in_folder)), set(_lmdb_keys(gt_folder))
+    if in_keys != gt_keys:
+        raise ValueError(
+            f"keys in {in_key} and {gt_key} lmdbs differ "
+            f"(e.g. {sorted(in_keys ^ gt_keys)[:3]})")
+    return [{f"{in_key}_path": k, f"{gt_key}_path": k}
+            for k in sorted(in_keys)]
+
+
+def tri_paths_from_lmdb(folders, keys):
+    """lq/gt/ref pairing by identical lmdb keys (WithRef extension of the
+    reference's paired_paths_from_lmdb)."""
+    sets = {key: set(_lmdb_keys(folder))
+            for folder, key in zip(folders, keys)}
+    base = sets[keys[0]]
+    for k, s in sets.items():
+        if s != base:
+            raise ValueError(
+                f"keys in {keys[0]} and {k} lmdbs differ "
+                f"(e.g. {sorted(base ^ s)[:3]})")
+    return [{f"{k}_path": key for k in keys} for key in sorted(base)]
+
+
 def paths_from_meta_info(meta_file: str, folders, keys):
     """Dehaze-style meta_info mapping: each line 'lq_name gt_name'
     (reference Dataset_PairedDehazeWithRef semantics)."""

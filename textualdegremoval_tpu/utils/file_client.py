@@ -1,7 +1,9 @@
 """Byte-stream file backends (reference utils/file_client.py:5-187).
 
-Disk backend always available; LMDB gated on the lmdb package (absent in
-this image — ArrayRecord/TFRecord pipelines are the recommended TPU path)."""
+Disk backend always available.  LMDB reads work with or without the lmdb
+C package: the pure-Python parser (data/lmdb_reader.py) handles reference
+``*.lmdb`` archives read-only on any rig; TFRecord archives
+(data/packed.py) are the recommended TPU-native packed format."""
 
 from __future__ import annotations
 
@@ -17,15 +19,18 @@ class LmdbBackend:
                  readahead=False):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                "lmdb backend requested but the lmdb package is not "
-                "installed; use the disk backend or an ArrayRecord "
-                "pipeline") from e
-        self._env = lmdb.open(db_path, readonly=readonly, lock=lock,
-                              readahead=readahead)
+        except ImportError:
+            from textualdegremoval_tpu.data.lmdb_reader import PurePythonLmdb
+
+            self._env = None
+            self._pure = PurePythonLmdb(db_path)
+        else:
+            self._env = lmdb.open(db_path, readonly=readonly, lock=lock,
+                                  readahead=readahead)
 
     def get(self, key: str) -> bytes:
+        if self._env is None:
+            return self._pure.get(key)
         with self._env.begin(write=False) as txn:
             return bytes(txn.get(key.encode("ascii")))
 

@@ -6,6 +6,10 @@
   (nafnet_arch_utils.py:313-349) re-expressed with a forced scalar fetch per
   iteration (device-sync equivalent; also correct through remote-TPU
   relays where block_until_ready under-reports).
+- count_params() / model_complexity(): the reference's ptflops accounting
+  (network_nafnet_guided_diffir_arch.py:656-679) from XLA's compiled cost
+  analysis — exact for the program XLA actually runs, where ptflops
+  approximates module-by-module.
 """
 
 from __future__ import annotations
@@ -13,8 +17,31 @@ from __future__ import annotations
 import contextlib
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+def count_params(params) -> int:
+    """Total parameter count of a pytree."""
+    return sum(int(np.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(params))
+
+
+def model_complexity(apply_fn, params, *args) -> dict:
+    """{'params', 'flops', 'macs'} for apply_fn(params, *args).
+
+    flops come from XLA's compiled cost analysis at the given input
+    shapes (macs = flops / 2, the ptflops convention the reference
+    prints).  Compiles for the current default backend."""
+    compiled = jax.jit(apply_fn).lower(params, *args).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float((cost or {}).get("flops", float("nan")))
+    return {"params": count_params(params), "flops": flops,
+            "macs": flops / 2.0}
 
 
 @contextlib.contextmanager
