@@ -199,3 +199,12 @@ class TestLmdbToTfrecord:
         assert packed.keys() == [f"im{i}.png" for i in range(4)]
         for i in range(4):
             assert packed.get(f"im{i}.png") == src.get(f"im{i}")
+
+
+def test_memcached_backend_gated():
+    """memcached registers in FileClient and fails with a clear message
+    when the mc client is absent (reference utils/file_client.py:26-58)."""
+    from textualdegremoval_tpu.utils.file_client import FileClient
+
+    with pytest.raises(ImportError, match="mc client"):
+        FileClient("memcached", server_list_cfg="s.conf", client_cfg="c.conf")

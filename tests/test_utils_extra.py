@@ -72,7 +72,7 @@ class TestFileClient:
 
     def test_unknown_backend(self):
         with pytest.raises(ValueError):
-            FileClient("memcached")
+            FileClient("carrier_pigeon")
 
 
 class TestMixing:

@@ -150,7 +150,14 @@ def _pick_tile(wdt: int, c: int) -> int:
     return 2
 
 
-def _gdfn_fused_impl(x, w1, dwk, w2, interpret: bool = False):
+# interpret-mode default for pallas_call (tests flip this to run the kernel
+# on CPU; the Mosaic path needs a TPU backend)
+_INTERPRET = False
+
+
+def _gdfn_fused_impl(x, w1, dwk, w2, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _INTERPRET
     b, hgt, wdt, c = x.shape
     h2 = w1.shape[1]
     hidden = h2 // 2

@@ -35,6 +35,32 @@ class LmdbBackend:
             return bytes(txn.get(key.encode("ascii")))
 
 
+class MemcachedBackend:
+    """Cluster memcached reads (reference utils/file_client.py:26-58).
+    Gated on the proprietary ``mc`` client the reference also requires."""
+
+    def __init__(self, server_list_cfg: str, client_cfg: str,
+                 sys_path: str | None = None):
+        if sys_path is not None:
+            import sys
+
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError as e:
+            raise ImportError(
+                "memcached backend requested but the mc client is not "
+                "installed") from e
+        self._mc = mc
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg,
+                                                      client_cfg)
+        self._buffer = mc.pyvector()
+
+    def get(self, filepath: str) -> bytes:
+        self._client.Get(str(filepath), self._buffer)
+        return self._mc.ConvertBuffer(self._buffer)
+
+
 class TfrecordBackend:
     """Keyed reads from a packed TFRecord archive (data/packed.py) — the
     TPU-native replacement for the reference's LMDB backend."""
@@ -50,7 +76,7 @@ class TfrecordBackend:
 
 class FileClient:
     _backends = {"disk": DiskBackend, "lmdb": LmdbBackend,
-                 "tfrecord": TfrecordBackend}
+                 "memcached": MemcachedBackend, "tfrecord": TfrecordBackend}
 
     def __init__(self, backend: str = "disk", **kwargs):
         if backend not in self._backends:
