@@ -68,3 +68,18 @@ def test_evaluate_every_task_constructor_and_forward(task, eval_dirs,
         argv += ["--lqroot", str(eval_dirs / "hq")]
     psnr, ssim = main(argv)
     assert np.isfinite(psnr) and np.isfinite(ssim)
+
+
+@pytest.mark.slow
+def test_evaluate_spatial_shard_matches_unsharded(eval_dirs):
+    """--spatial_shard N (H-axis GSPMD sharding) must reproduce the
+    single-device result — halo exchanges are exact, not approximate."""
+    from textualdegremoval_tpu.cli.evaluate import main
+
+    argv = ["--task", "tiny_smoke", "--sigma", "15",
+            "--hqroot", str(eval_dirs / "hq"),
+            "--refroot", str(eval_dirs / "ref"),
+            "--max_images", "1"]
+    psnr0, ssim0 = main(argv)
+    psnr2, ssim2 = main(argv + ["--spatial_shard", "2"])
+    assert abs(psnr0 - psnr2) < 1e-3 and abs(ssim0 - ssim2) < 1e-4

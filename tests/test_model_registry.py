@@ -8,8 +8,10 @@ from textualdegremoval_tpu.train.model_registry import create_model
 def test_known_model_types_resolve():
     run = create_model({"model_type": "RefGuidedImageCleanModel"})
     assert callable(run)
-    mod = create_model({"model_type": "DiffIRRefGuidedImageCleanModel"})
-    assert hasattr(mod, "make_diffir_train_step")
+    # DiffIR resolves to a runner driving the train_diffir CLI (both
+    # registry entries share the run(max_iters=...) contract)
+    run_diffir = create_model({"model_type": "DiffIRRefGuidedImageCleanModel"})
+    assert callable(run_diffir)
 
 
 def test_unknown_model_type_raises():

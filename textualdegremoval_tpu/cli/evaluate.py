@@ -152,6 +152,10 @@ def main(argv=None):
     ap.add_argument("--tiny_debug", action="store_true",
                     help="shrink the task's network to toy widths "
                          "(CI smoke: same constructor path, tiny compile)")
+    ap.add_argument("--spatial_shard", type=int, default=0,
+                    help="shard the image H axis over N devices (GSPMD "
+                         "halo-exchange convs; for >2K whole-image eval "
+                         "that exceeds one chip's HBM; 0 = off)")
     args = ap.parse_args(argv)
 
     opt = dict(TASK_TABLE[args.task])
@@ -169,6 +173,24 @@ def main(argv=None):
     # variables is the full collection tree: SFNet carries batch_stats
     # alongside params (frozen running statistics at eval)
     fwd = jax.jit(lambda v, lq, ref: _last(model.apply(v, lq, ref)))
+
+    # sp sharding: images sharded on H across devices, params replicated;
+    # GSPMD inserts the conv halo exchanges (dryrun-validated dp x sp path,
+    # tests/test_spatial_sharding.py).  The image is reflect-padded to a
+    # multiple of the shard count and cropped back after the forward.
+    mesh = img_sh = rep_sh = None
+    if args.spatial_shard > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n_sp = args.spatial_shard
+        if len(jax.devices()) < n_sp:
+            raise SystemExit(
+                f"--spatial_shard {n_sp} needs {n_sp} devices, have "
+                f"{len(jax.devices())}")
+        mesh = Mesh(
+            np.asarray(jax.devices()[:n_sp]).reshape(1, n_sp), ("dp", "sp"))
+        img_sh = NamedSharding(mesh, P(None, "sp"))
+        rep_sh = NamedSharding(mesh, P())
 
     psnrs, ssims = [], []
     gray = opt.get("inp_channels", 3) == 1
@@ -193,8 +215,19 @@ def main(argv=None):
         else:
             lq = imread_f32(lq_paths[i])
 
+        orig_h = lq.shape[0]
+        if mesh is not None:
+            pad_h = (-orig_h) % args.spatial_shard
+            if pad_h:
+                lq = np.pad(lq, ((0, pad_h), (0, 0), (0, 0)), "reflect")
         lq_j = jnp.asarray(lq)[None]
         ref_j = jnp.asarray(ref)[None]
+        if mesh is not None:
+            # ref is replicated (it may differ in size from lq and its
+            # encoder pass is cheap); lq and everything downstream of it
+            # shard on H
+            lq_j = jax.device_put(lq_j, img_sh)
+            ref_j = jax.device_put(ref_j, rep_sh)
         if variables is None:
             if args.checkpoint_path and os.path.exists(args.checkpoint_path):
                 from textualdegremoval_tpu.convert.torch_to_jax import (
@@ -205,7 +238,10 @@ def main(argv=None):
             else:
                 variables = jax.jit(model.init)(
                     jax.random.PRNGKey(0), lq_j, ref_j)
+            if mesh is not None:
+                variables = jax.device_put(variables, rep_sh)
         pred = np.clip(np.asarray(fwd(variables, lq_j, ref_j))[0], 0, 1)
+        pred = pred[:orig_h]
         psnrs.append(calculate_psnr(pred * 255, hq * 255, crop_border=0))
         ssims.append(calculate_ssim(pred * 255, hq * 255, crop_border=0))
         print(f"[{i + 1}/{len(hq_paths)}] psnr {psnrs[-1]:.4f} "

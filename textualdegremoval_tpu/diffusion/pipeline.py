@@ -64,12 +64,14 @@ class GuidanceModules:
         )
 
     @classmethod
-    def sd21_config(cls, num_words=20):
+    def sd21_config(cls, num_words=20, dtype=jnp.float32):
+        """dtype=jnp.bfloat16 is the TPU equivalent of the reference's fp16
+        mixed precision (params stay f32; activations compute in dtype)."""
         return cls(
-            text_encoder=CLIPTextEncoder(),
-            image_encoder=CLIPVisionEncoder(),
-            unet=UNet2DCondition(),
-            vae=AutoencoderKL(),
+            text_encoder=CLIPTextEncoder(dtype=dtype),
+            image_encoder=CLIPVisionEncoder(dtype=dtype),
+            unet=UNet2DCondition(dtype=dtype),
+            vae=AutoencoderKL(dtype=dtype),
             mapper=I2TMapper(num_words=num_words),
             clean_mapper=CleanMapper(num_words=num_words),
         )
@@ -119,7 +121,9 @@ def diffusion_loss(mods: GuidanceModules, params: dict, batch, rng,
         mods, params, batch["input_ids"], words, batch["inj_index"])
     eps_pred = mods.unet.apply(
         {"params": params["unet"]}, noisy, t, hidden, use_global_kv=True)
-    return jnp.mean(jnp.square(eps_pred - noise))
+    # loss reduces in f32 even under bf16 towers (mixed-precision norm)
+    return jnp.mean(jnp.square(
+        eps_pred.astype(jnp.float32) - noise.astype(jnp.float32)))
 
 
 def trainable_mask(params: dict, stage: str) -> dict:
@@ -138,13 +142,46 @@ def trainable_mask(params: dict, stage: str) -> dict:
     return traverse_util.unflatten_dict(mask)
 
 
-def make_guidance_train_step(mods: GuidanceModules, tx, stage: str):
-    use_clean = stage == "tr"
+def partition_params(params: dict, stage: str):
+    """Split params into (trainable, frozen) flat dicts by trainable_mask."""
+    mask = traverse_util.flatten_dict(trainable_mask(params, stage))
+    flat = traverse_util.flatten_dict(params)
+    train = {k: v for k, v in flat.items() if mask[k]}
+    frozen = {k: v for k, v in flat.items() if not mask[k]}
+    return train, frozen
 
+
+def merge_params(train: dict, frozen: dict) -> dict:
+    return traverse_util.unflatten_dict({**train, **frozen})
+
+
+def guidance_loss_and_grads(mods: GuidanceModules, params, batch, rng,
+                            stage: str):
+    """(loss, full-tree grads) differentiating ONLY the trainable subtree.
+
+    The frozen towers are captured as constants, so the backward pass never
+    descends into the VAE or CLIP-vision weights and no tower-sized grad
+    buffers exist (the torch equivalent of requires_grad=False — reference
+    main_train_i2t_mapping.py freezes the towers; a full-tree
+    value_and_grad would OOM a 16 GB chip on the 891M-param setup).
+    Frozen entries of the returned tree are zeros, so any optimizer built
+    by make_guidance_optimizer consumes it unchanged."""
+    use_clean = stage == "tr"
+    train_p, frozen_p = partition_params(params, stage)
+
+    def loss_fn(tp):
+        return diffusion_loss(mods, merge_params(tp, frozen_p), batch, rng,
+                              use_clean)
+
+    loss, gtrain = jax.value_and_grad(loss_fn)(train_p)
+    zeros = {k: jnp.zeros_like(v) for k, v in frozen_p.items()}
+    return loss, traverse_util.unflatten_dict({**gtrain, **zeros})
+
+
+def make_guidance_train_step(mods: GuidanceModules, tx, stage: str):
     def step(params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(
-            lambda p: diffusion_loss(mods, p, batch, rng, use_clean)
-        )(params)
+        loss, grads = guidance_loss_and_grads(mods, params, batch, rng,
+                                              stage)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -47,6 +47,21 @@ def _ref_guided(opt):
 
 @register_model("DiffIRRefGuidedImageCleanModel")
 def _diffir(opt):
-    from textualdegremoval_tpu.train import diffir_trainer
+    from textualdegremoval_tpu.cli import train_diffir
 
-    return diffir_trainer
+    def run(max_iters=None):
+        import tempfile, yaml, os
+
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".yml", delete=False) as f:
+            yaml.safe_dump(opt, f)
+            path = f.name
+        try:
+            args = ["--opt", path]
+            if max_iters:
+                args += ["--max_iters", str(max_iters)]
+            return train_diffir.main(args)
+        finally:
+            os.unlink(path)
+
+    return run

@@ -27,11 +27,12 @@ REPEATS = 3
 
 def main():
     from textualdegremoval_tpu.diffusion.pipeline import (
-        GuidanceModules, diffusion_loss, make_guidance_optimizer,
+        GuidanceModules, guidance_loss_and_grads, make_guidance_optimizer,
     )
     import optax
 
-    mods = GuidanceModules.sd21_config(num_words=20)
+    # bf16 activations = the reference's fp16 mixed-precision protocol
+    mods = GuidanceModules.sd21_config(num_words=20, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
     n_patches = 1 + (224 // 14) ** 2
@@ -69,10 +70,10 @@ def main():
 
     def one_step(carry, rng):
         p, o = carry
-        # same semantics as make_guidance_train_step (the optimizer masks
-        # frozen towers), unjitted so the chain fori_loop can carry it
-        loss, grads = jax.value_and_grad(
-            lambda pp: diffusion_loss(mods, pp, batch, rng))(p)
+        # same semantics as make_guidance_train_step (partitioned grads:
+        # frozen towers are constants), unjitted so the chain fori_loop can
+        # carry it
+        loss, grads = guidance_loss_and_grads(mods, p, batch, rng, "i2t")
         updates, o = tx.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         return (p, o), loss
