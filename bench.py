@@ -18,8 +18,24 @@ full-size RestormerRefFusion at 512 px fp32.
 """
 
 import json
+import os
 import sys
 import time
+
+# The fused whole-TransformerBlock kernel is the measured-fastest
+# configuration (BENCH_NOTES.md round 3: 152.5 -> 125.3 ms/image); the
+# flag is read at trace time, so setting it here covers the driver's
+# plain `python bench.py` invocation.  TDR_FUSED_TBLOCK=0 to compare.
+os.environ.setdefault("TDR_FUSED_TBLOCK", "1")
+# Local AOT TPU compiles fail on this rig (libtpu build mismatch between
+# the client wheel and the relay terminal); the relay-side compiler is the
+# only working path, so pin it even if the launcher stripped the base env.
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+# Persistent compile cache: the full-model compile is ~10 min through the
+# relay; cache it on disk so a re-run (or the driver's run after a session
+# warmed it) starts in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdr_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import jax
 import jax.numpy as jnp

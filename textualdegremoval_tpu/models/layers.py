@@ -213,8 +213,64 @@ class GDFN(nn.Module):
                        name="project_out")(x)
 
 
+class _LNParams(nn.Module):
+    """Bare ChannelLayerNorm parameter holder (same names/shapes/init as
+    ChannelLayerNorm, so fused-kernel checkpoints are interchangeable)."""
+
+    dim: int
+    ln_type: str = "WithBias"
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = (None if self.ln_type == "BiasFree"
+             else self.param("bias", nn.initializers.zeros, (self.dim,)))
+        return w, b
+
+
+class _MDTAParams(nn.Module):
+    """Bare MDTAAttention parameter holder (names match MDTAAttention)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        qkv = _ConvKernel((1, 1, self.dim, self.dim * 3), name="qkv")()
+        qkv_dw = _ConvKernel((3, 3, 1, self.dim * 3), name="qkv_dwconv")()
+        proj = _ConvKernel((1, 1, self.dim, self.dim), name="project_out")()
+        return dict(temperature=temperature, qkv=qkv, qkv_dw=qkv_dw,
+                    proj=proj)
+
+
+class _GDFNParams(nn.Module):
+    """Bare GDFN parameter holder (names match GDFN's module path)."""
+
+    dim: int
+    ffn_expansion_factor: float = 2.66
+
+    @nn.compact
+    def __call__(self):
+        hidden = int(self.dim * self.ffn_expansion_factor)
+        gd_in = _ConvKernel((1, 1, self.dim, hidden * 2),
+                            name="project_in")()
+        gd_dw = _ConvKernel((3, 3, 1, hidden * 2), name="dwconv")()
+        gd_out = _ConvKernel((1, 1, hidden, self.dim), name="project_out")()
+        return dict(gd_in=gd_in, gd_dw=gd_dw, gd_out=gd_out)
+
+
 class TransformerBlock(nn.Module):
-    """Restormer block (network_restormer_guided_arch.py:318-331)."""
+    """Restormer block (network_restormer_guided_arch.py:318-331).
+
+    fused: run the ENTIRE block (LN1+qkv+dwconv+attention+project+LN2+GDFN
+    +residuals) as the two-pass streaming Pallas kernel
+    (ops/pallas/tblock.py).  Unlike the per-op kernels (which measurably
+    lose to XLA overlap — BENCH_NOTES.md), the whole-block kernel leaves
+    nothing around it to overlap with.  Auto (None): $TDR_FUSED_TBLOCK.
+    Parameter names/shapes are identical in both paths, so checkpoints are
+    interchangeable."""
 
     dim: int
     num_heads: int
@@ -222,9 +278,31 @@ class TransformerBlock(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     dtype: jnp.dtype = jnp.float32
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, x):
+        fused = self.fused
+        if fused is None:
+            import os
+            fused = os.environ.get("TDR_FUSED_TBLOCK") in ("1", "true", "on")
+        if fused and not self.use_bias:
+            from textualdegremoval_tpu.ops.pallas.tblock import (
+                tblock_fused, tblock_ref)
+
+            w1, b1 = _LNParams(self.dim, self.ln_type, name="norm1")()
+            attn_p = _MDTAParams(self.dim, self.num_heads, name="attn")()
+            w2, b2 = _LNParams(self.dim, self.ln_type, name="norm2")()
+            ffn_p = _GDFNParams(self.dim, self.ffn_expansion_factor,
+                                name="ffn")()
+            p = dict(norm1_w=w1, norm2_w=w2, **attn_p, **ffn_p)
+            if b1 is not None:
+                p["norm1_b"] = b1
+                p["norm2_b"] = b2
+            xd = x.astype(self.dtype)
+            if jax.default_backend() == "tpu":
+                return tblock_fused(xd, p, self.num_heads, self.ln_type)
+            return tblock_ref(xd, p, self.num_heads, self.ln_type)
         x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
                               dtype=self.dtype, name="attn")(
             ChannelLayerNorm(self.dim, self.ln_type, name="norm1")(x))
@@ -236,7 +314,10 @@ class TransformerBlock(nn.Module):
 
 class TransformerResFusionBlock(nn.Module):
     """Fusion block with zero-init scalar gate
-    (network_restormer_guided_arch.py:334-353): out = block(x)*alpha + x."""
+    (network_restormer_guided_arch.py:334-353): out = block(x)*alpha + x.
+    The inner chain shares TransformerBlock's fused whole-block Pallas
+    path (the alpha gate is a cheap epilogue XLA fuses into the kernel's
+    output read)."""
 
     dim: int
     num_heads: int
@@ -244,11 +325,35 @@ class TransformerResFusionBlock(nn.Module):
     use_bias: bool = False
     ln_type: str = "WithBias"
     dtype: jnp.dtype = jnp.float32
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, x):
+        fused = self.fused
+        if fused is None:
+            import os
+            fused = os.environ.get("TDR_FUSED_TBLOCK") in ("1", "true", "on")
         alpha = self.param("alpha", nn.initializers.zeros, (1,))
         shortcut = x
+        if fused and not self.use_bias:
+            from textualdegremoval_tpu.ops.pallas.tblock import (
+                tblock_fused, tblock_ref)
+
+            w1, b1 = _LNParams(self.dim, self.ln_type, name="norm1")()
+            attn_p = _MDTAParams(self.dim, self.num_heads, name="attn")()
+            w2, b2 = _LNParams(self.dim, self.ln_type, name="norm2")()
+            ffn_p = _GDFNParams(self.dim, self.ffn_expansion_factor,
+                                name="ffn")()
+            p = dict(norm1_w=w1, norm2_w=w2, **attn_p, **ffn_p)
+            if b1 is not None:
+                p["norm1_b"] = b1
+                p["norm2_b"] = b2
+            xd = x.astype(self.dtype)
+            if jax.default_backend() == "tpu":
+                y = tblock_fused(xd, p, self.num_heads, self.ln_type)
+            else:
+                y = tblock_ref(xd, p, self.num_heads, self.ln_type)
+            return y * alpha.astype(y.dtype) + shortcut.astype(y.dtype)
         x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
                               dtype=self.dtype, name="attn")(
             ChannelLayerNorm(self.dim, self.ln_type, name="norm1")(x))

@@ -1,0 +1,452 @@
+"""Fused whole-TransformerBlock Pallas kernel (Restormer MDTA + GDFN).
+
+One Restormer block (reference network_restormer_guided_arch.py:318-331)
+is LN1 -> qkv 1x1 -> qkv dwconv -> channel attention -> project_out ->
+residual -> LN2 -> GDFN -> residual.  As XLA ops every intermediate
+(3C-wide qkv, 2*2.66C-wide GDFN hidden) crosses HBM, ~2.2 GB per block at
+512 px / dim 96.  Per-op Pallas kernels measurably LOSE in-model (four
+times now, BENCH_NOTES.md): pallas_call is a fusion barrier, and the XLA
+ILP overlap around each small kernel is worth more than its traffic save.
+This kernel therefore fuses the ENTIRE residual-to-residual chain, so
+there is nothing left around it for XLA to overlap.
+
+The channel attention is global over pixels (per-head C x C gram of
+L2-normalized q, k), so the block streams in two row-tile passes:
+
+* pass A reads x row tiles (1-row halo), computes LN1 + the q/k thirds of
+  the qkv convs in VMEM, and accumulates the full C x C gram plus the
+  per-channel q/k square-sums (f32).  Computing the FULL gram instead of
+  per-head blocks wastes heads x FLOPs on a tiny matrix but keeps every
+  in-kernel slice 128-lane aligned (per-head lane-offset slices are what
+  broke the round-1 MDTA kernel on Mosaic).
+* tiny host glue (plain XLA, O(C^2)) normalizes the per-head diagonal
+  blocks, applies temperature + softmax, and assembles the block-diagonal
+  attention matrix A.
+* pass B reads x row tiles (2-row halo), recomputes LN1 + the v third
+  (recomputing v is cheaper than an HBM round-trip of the 3C qkv tensor),
+  applies o = v @ A^T, project_out, the first residual, then LN2 + the
+  fused GDFN (hidden lives only in VMEM, in 128-lane chunks) and the
+  second residual, writing only the final C-wide output.
+
+HBM traffic per block: ~(1 + 2/t) + (1 + 4/t) reads + 1 write of the
+C-wide tensor vs ~20 crossings for the op chain.  Zero-padding semantics
+of both depthwise convs are reproduced by zeroing the *post-1x1* rows that
+fall outside the image (the reference zero-pads qkv and the GDFN hidden,
+not x).
+
+Gradients: custom_vjp recomputing through `tblock_ref` (plain jnp,
+identical math) — exact grads, zero saved intermediates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from textualdegremoval_tpu.ops.norm import (
+    bias_free_layer_norm, with_bias_layer_norm,
+)
+from textualdegremoval_tpu.ops.attention import mdta_attention_nhwc
+from textualdegremoval_tpu.ops.pallas.gdfn import (
+    gdfn_ref, _gelu_exact, _round_up,
+)
+
+_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Plain-jnp oracle (identical math to the Flax module path)
+# ---------------------------------------------------------------------------
+
+
+def _ln(x, w, b, ln_type):
+    if ln_type == "BiasFree":
+        return bias_free_layer_norm(x, w)
+    return with_bias_layer_norm(x, w, b)
+
+
+def _dw3x3_nhwc(x, k):
+    """Depthwise 3x3, k: (3, 3, 1, C) HWIO."""
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def tblock_ref(x, p, heads: int, ln_type: str = "WithBias"):
+    """Whole TransformerBlock, plain jnp.  p keys (natural module shapes):
+    norm1_w (C,), norm1_b (C,), qkv (1,1,C,3C), qkv_dw (3,3,1,3C),
+    temperature (heads,1,1), proj (1,1,C,C), norm2_w, norm2_b,
+    gd_in (1,1,C,2h), gd_dw (3,3,1,2h), gd_out (1,1,h,C)."""
+    c = x.shape[-1]
+    y = _ln(x, p["norm1_w"], p.get("norm1_b"), ln_type)
+    qkv = jnp.einsum("bhwc,cd->bhwd", y,
+                     p["qkv"].reshape(c, 3 * c).astype(y.dtype))
+    qkv = _dw3x3_nhwc(qkv, p["qkv_dw"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = mdta_attention_nhwc(q, k, v, p["temperature"], heads)
+    o = jnp.einsum("bhwc,cd->bhwd", o,
+                   p["proj"].reshape(c, c).astype(o.dtype))
+    x = x + o
+    z = _ln(x, p["norm2_w"], p.get("norm2_b"), ln_type)
+    h2 = p["gd_in"].shape[-1]
+    g = gdfn_ref(z, p["gd_in"].reshape(c, h2),
+                 p["gd_dw"].reshape(3, 3, h2),
+                 p["gd_out"].reshape(h2 // 2, c))
+    return x + g
+
+
+# ---------------------------------------------------------------------------
+# Kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(xf, w, b, ln_type):
+    """LN over the channel axis of an f32 (rows, W, C) tile — formula
+    identical to ops.norm (one-read moments, maximum clamp)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(sq - mu * mu, 0.0)
+    if ln_type == "BiasFree":
+        return xf / jnp.sqrt(var + _EPS) * w
+    return (xf - mu) / jnp.sqrt(var + _EPS) * w + b
+
+
+def _shift_x(rows, dx, t, w, ch):
+    if dx == 0:
+        return jnp.concatenate(
+            [jnp.zeros((t, 1, ch), rows.dtype), rows[:, : w - 1]], axis=1)
+    if dx == 2:
+        return jnp.concatenate(
+            [rows[:, 1:], jnp.zeros((t, 1, ch), rows.dtype)], axis=1)
+    return rows
+
+
+def _dw3x3_rows(hid, wref, row0, t, w, ch, csl):
+    """9-shift depthwise 3x3 over (t+2, W, ch) -> (t, W, ch), f32 accum.
+    wref rows row0+j hold tap j of this channel slice."""
+    out = jnp.zeros((t, w, ch), jnp.float32)
+    for dy in range(3):
+        rows = hid[dy:dy + t]
+        for dx in range(3):
+            shifted = _shift_x(rows, dx, t, w, ch)
+            tap = wref[row0 + dy * 3 + dx: row0 + dy * 3 + dx + 1, csl]
+            out = out + shifted * tap[None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pass A: gram + square-sum statistics
+# ---------------------------------------------------------------------------
+
+
+def _make_stats_kernel(t, w, c, ln_type):
+    def kernel(xp_ref, xc_ref, xn_ref, ln1w_ref, ln1b_ref, wq_ref, wk_ref,
+               dwqk_ref, gram_ref, qs_ref, ks_ref, xh):
+        i = pl.program_id(1)
+        n = pl.num_programs(1)
+        xh[:] = jnp.concatenate([xp_ref[0], xc_ref[0], xn_ref[0]], axis=0)
+
+        xf = xh[:].astype(jnp.float32)
+        y = _ln_rows(xf, ln1w_ref[...], ln1b_ref[...], ln_type)
+        y2d = y.reshape((t + 2) * w, c).astype(xh.dtype)
+
+        def lin_dw(wlin, row0):
+            lin = jax.lax.dot_general(
+                y2d, wlin, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xh.dtype).reshape(t + 2, w, c)
+            # out-of-image halo rows: the reference zero-pads the qkv
+            # tensor, so the convolved-in rows above/below the image are 0
+            zrow = jnp.zeros((1, w, c), lin.dtype)
+            top = jnp.where(i == 0, zrow, lin[0:1])
+            bot = jnp.where(i == n - 1, zrow, lin[t + 1:t + 2])
+            lin = jnp.concatenate([top, lin[1:t + 1], bot], axis=0)
+            return _dw3x3_rows(lin, dwqk_ref, row0, t, w, c,
+                               slice(0, c)).astype(xh.dtype)
+
+        q = lin_dw(wq_ref[...], 0).reshape(t * w, c)
+        k = lin_dw(wk_ref[...], 9).reshape(t * w, c)
+
+        @pl.when(i == 0)
+        def _init():
+            gram_ref[...] = jnp.zeros_like(gram_ref)
+            qs_ref[...] = jnp.zeros_like(qs_ref)
+            ks_ref[...] = jnp.zeros_like(ks_ref)
+
+        gram_ref[0] += jax.lax.dot_general(
+            q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qs_ref[0] += jnp.sum(qf * qf, axis=0, keepdims=True)
+        ks_ref[0] += jnp.sum(kf * kf, axis=0, keepdims=True)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Pass B: apply attention + project + LN2 + GDFN + residuals
+# ---------------------------------------------------------------------------
+
+
+def _make_apply_kernel(t, w, c, hpad, ch, ln_type):
+    nchunk = hpad // ch
+
+    def kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref, ln1w_ref,
+               ln1b_ref, wv_ref, dwv_ref, at_ref, wproj_ref, ln2w_ref,
+               ln2b_ref, w1_ref, dwg_ref, w2_ref, out_ref, xh, x1, acc):
+        i = pl.program_id(1)
+        n = pl.num_programs(1)
+        xh[:] = jnp.concatenate(
+            [xp2_ref[0], xp1_ref[0], xc_ref[0], xn1_ref[0], xn2_ref[0]],
+            axis=0)
+
+        xf = xh[:].astype(jnp.float32)
+        y = _ln_rows(xf, ln1w_ref[...], ln1b_ref[...], ln_type)
+        v_lin = jax.lax.dot_general(
+            y.reshape((t + 4) * w, c).astype(xh.dtype), wv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xh.dtype).reshape(t + 4, w, c)
+        # rows outside the image contribute zero qkv (reference zero-pad);
+        # rows 0/1 are out of image only at i==0, rows t+2/t+3 at i==n-1
+        zrow = jnp.zeros((1, w, c), v_lin.dtype)
+        r0 = jnp.where(i == 0, zrow, v_lin[0:1])
+        r1 = jnp.where(i == 0, zrow, v_lin[1:2])
+        r2 = jnp.where(i == n - 1, zrow, v_lin[t + 2:t + 3])
+        r3 = jnp.where(i == n - 1, zrow, v_lin[t + 3:t + 4])
+        v_lin = jnp.concatenate([r0, r1, v_lin[2:t + 2], r2, r3], axis=0)
+        v = _dw3x3_rows(v_lin, dwv_ref, 0, t + 2, w, c,
+                        slice(0, c)).astype(xh.dtype)
+
+        # o = v @ A^T (block-diagonal A == per-head attention), project_out,
+        # first residual — on t+2 rows (1-row halo for the GDFN dwconv)
+        o = jax.lax.dot_general(
+            v.reshape((t + 2) * w, c), at_ref[0].astype(xh.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xh.dtype)
+        proj = jax.lax.dot_general(
+            o, wproj_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xh.dtype).reshape(t + 2, w, c)
+        x1[:] = xh[1:t + 3] + proj
+
+        # LN2 + fused GDFN on the t+2 rows, output on the t central rows
+        zf = _ln_rows(x1[:].astype(jnp.float32), ln2w_ref[...],
+                      ln2b_ref[...], ln_type)
+        z2d = zf.reshape((t + 2) * w, c).astype(xh.dtype)
+        acc[:] = jnp.zeros_like(acc)
+        for ci in range(nchunk):
+            csl1 = slice(ci * ch, (ci + 1) * ch)
+            csl2 = slice(hpad + ci * ch, hpad + (ci + 1) * ch)
+
+            def hid_of(csl):
+                hid = jax.lax.dot_general(
+                    z2d, w1_ref[:, csl].astype(z2d.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(z2d.dtype).reshape(t + 2, w, ch)
+                # zero the out-of-image hidden rows (reference zero-pads
+                # the GDFN hidden tensor)
+                zr = jnp.zeros((1, w, ch), hid.dtype)
+                top = jnp.where(i == 0, zr, hid[0:1])
+                bot = jnp.where(i == n - 1, zr, hid[t + 1:t + 2])
+                return jnp.concatenate([top, hid[1:t + 1], bot], axis=0)
+
+            d1 = _dw3x3_rows(hid_of(csl1), dwg_ref, 0, t, w, ch,
+                             slice(csl1.start, csl1.stop))
+            d2 = _dw3x3_rows(hid_of(csl2), dwg_ref, 9, t, w, ch,
+                             slice(csl1.start, csl1.stop))
+            gate = _gelu_exact(d1) * d2
+            acc[:] += jax.lax.dot_general(
+                gate.reshape(t * w, ch).astype(z2d.dtype),
+                w2_ref[csl1.start:csl1.stop],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(t, w, c)
+
+        out_ref[0] = (x1[1:t + 1] + acc[:].astype(xh.dtype)).astype(
+            out_ref.dtype)
+
+    return kernel
+
+
+# measured-optimal row tiles per (W, C) on v5e (tools/bench_tblock.py
+# sweep, BENCH_NOTES.md round 3); t=8 at (512, 96) exceeds the 16 MB
+# scoped-VMEM budget, t=2 is always slower
+_TILE_TABLE = {
+    (512, 48): 8, (512, 96): 4, (256, 96): 8, (256, 192): 4,
+    (128, 192): 4, (128, 384): 4, (64, 384): 8, (64, 768): 8,
+}
+
+
+def _pick_tile(wdt: int, c: int) -> int:
+    import os
+    override = os.environ.get("TDR_TBLOCK_TILE")
+    if override:
+        return int(override)
+    t = _TILE_TABLE.get((wdt, c))
+    if t:
+        return t
+    wc = wdt * max(c, 128)
+    if wc <= 512 * 48:
+        return 8
+    if wc <= 512 * 192:
+        return 4
+    return 2
+
+
+_INTERPRET = False
+
+
+def _attn_matrix(gram, qssq, kssq, temperature, heads, dtype):
+    """Per-head normalized softmax from the full-gram statistics, assembled
+    as a block-diagonal (B, C, C) matrix.  Matches mdta_attention_nhwc:
+    rsqrt(max(ssq, 1e-24)) norms, f32 softmax, temperature per head."""
+    b, c, _ = gram.shape
+    cph = c // heads
+    qn = jax.lax.rsqrt(jnp.maximum(qssq, 1e-24))  # (B, 1, C)
+    kn = jax.lax.rsqrt(jnp.maximum(kssq, 1e-24))
+    a = jnp.zeros((b, c, c), jnp.float32)
+    for hd in range(heads):
+        sl = slice(hd * cph, (hd + 1) * cph)
+        g = gram[:, sl, sl]
+        g = g * (qn[:, 0, sl, None] * kn[:, 0, None, sl])
+        g = jax.nn.softmax(g * temperature[hd, 0, 0].astype(jnp.float32),
+                           axis=-1)
+        a = a.at[:, sl, sl].set(g)
+    return a.astype(dtype)
+
+
+def _tblock_impl(x, p, heads, ln_type, interpret=None):
+    if interpret is None:
+        interpret = _INTERPRET
+    b, hgt, wdt, c = x.shape
+    h2 = p["gd_in"].shape[-1]
+    hidden = h2 // 2
+    t = _pick_tile(wdt, c)
+    while t > 1 and hgt % t:
+        t //= 2
+    # t >= 2 keeps the out-of-image row masks exact (at t == 1 the 2-row
+    # halo of pass B spans two tiles at the bottom edge)
+    if t < 2 or hgt % t or wdt > 2048:
+        return tblock_ref(x, p, heads, ln_type)
+    n_tiles = hgt // t
+    f32 = jnp.float32
+
+    qkv = p["qkv"].reshape(c, 3 * c).astype(f32)
+    wq, wk, wv = qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:]
+    dwqkv = p["qkv_dw"].reshape(9, 3 * c).astype(f32)
+    # (18, C): rows 0-8 = q taps, rows 9-17 = k taps (pass A layout)
+    dwqk = jnp.concatenate([dwqkv[:, :c], dwqkv[:, c:2 * c]], axis=0)
+    dwv = dwqkv[:, 2 * c:]
+    wproj = p["proj"].reshape(c, c).astype(f32)
+
+    ln1w = p["norm1_w"].astype(f32).reshape(1, c)
+    ln1b = (p["norm1_b"].astype(f32).reshape(1, c)
+            if ln_type != "BiasFree" else jnp.zeros((1, c), f32))
+    ln2w = p["norm2_w"].astype(f32).reshape(1, c)
+    ln2b = (p["norm2_b"].astype(f32).reshape(1, c)
+            if ln_type != "BiasFree" else jnp.zeros((1, c), f32))
+
+    ch = 128
+    hpad = _round_up(hidden, ch)
+    w1 = p["gd_in"].reshape(c, h2).astype(f32)
+    w1s = jnp.zeros((c, 2 * hpad), f32)
+    w1s = w1s.at[:, :hidden].set(w1[:, :hidden])
+    w1s = w1s.at[:, hpad:hpad + hidden].set(w1[:, hidden:])
+    dwgf = p["gd_dw"].reshape(9, h2).astype(f32)
+    dwgs = jnp.zeros((18, hpad), f32)
+    dwgs = dwgs.at[:9, :hidden].set(dwgf[:, :hidden])
+    dwgs = dwgs.at[9:, :hidden].set(dwgf[:, hidden:])
+    w2s = jnp.zeros((hpad, c), f32).at[:hidden].set(
+        p["gd_out"].reshape(hidden, c).astype(f32))
+    # pass B matmuls consume weights in x.dtype (module-path semantics)
+    wv_d = wv.astype(x.dtype)
+    wproj_d = wproj.astype(x.dtype)
+    dwv_d = dwv  # taps multiply f32-shifted rows; keep f32
+    w1s_d = w1s
+    w2s_d = w2s.astype(x.dtype)
+
+    body = pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def row(off):
+        def imap(bi, i):
+            r = i * t + off
+            r = jnp.maximum(r, 0) if off < 0 else jnp.minimum(r, hgt - 1)
+            return (bi, r, 0, 0)
+        return pl.BlockSpec((1, 1, wdt, c), imap, memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    gram, qssq, kssq = pl.pallas_call(
+        _make_stats_kernel(t, wdt, c, ln_type),
+        grid=(b, n_tiles),
+        in_specs=[row(-1), body, row(t), wspec, wspec, wspec, wspec, wspec],
+        out_specs=[
+            pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, c), f32),
+            jax.ShapeDtypeStruct((b, 1, c), f32),
+            jax.ShapeDtypeStruct((b, 1, c), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t + 2, wdt, c), x.dtype)],
+        interpret=interpret,
+    )(x, x, x, ln1w, ln1b, wq.astype(x.dtype), wk.astype(x.dtype), dwqk)
+
+    at = _attn_matrix(gram, qssq, kssq, p["temperature"], heads,
+                      x.dtype).transpose(0, 2, 1)
+
+    return pl.pallas_call(
+        _make_apply_kernel(t, wdt, c, hpad, ch, ln_type),
+        grid=(b, n_tiles),
+        in_specs=[row(-2), row(-1), body, row(t), row(t + 1),
+                  wspec, wspec, wspec, wspec,
+                  pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=body,
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t + 4, wdt, c), x.dtype),
+            pltpu.VMEM((t + 2, wdt, c), x.dtype),
+            pltpu.VMEM((t, wdt, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, x, x, x, ln1w, ln1b, wv_d, dwv_d, at, wproj_d, ln2w, ln2b,
+      w1s_d, dwgs, w2s_d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tblock_fused(x, p, heads: int, ln_type: str = "WithBias"):
+    """Fused whole TransformerBlock.  x: (B, H, W, C); p: natural-shape
+    param dict (see tblock_ref).  Returns (B, H, W, C) in x.dtype."""
+    return _tblock_impl(x, p, heads, ln_type)
+
+
+def _fwd(x, p, heads, ln_type):
+    return _tblock_impl(x, p, heads, ln_type), (x, p)
+
+
+def _bwd(heads, ln_type, res, g):
+    x, p = res
+    _, vjp = jax.vjp(lambda xx, pp: tblock_ref(xx, pp, heads, ln_type),
+                     x, p)
+    return vjp(g)
+
+
+tblock_fused.defvjp(_fwd, _bwd)

@@ -1,0 +1,70 @@
+"""Standalone whole-TransformerBlock kernel benchmark (fused vs XLA path).
+
+Chained on-device protocol (relay-safe, see BENCH_NOTES.md): each timed
+unit is ITERS block applications feeding output->input via lax.fori_loop,
+fetched once.  Run on the TPU rig:
+
+    python tools/bench_tblock.py [dim] [H] [W] [heads]
+
+Defaults exercise the flagship's dominant configuration: the 512px
+decoder_level1/refinement blocks (dim 96, heads 1, full resolution).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ITERS = 10
+REPEATS = 3
+
+
+def chain(fn, x, iters=ITERS):
+    def body(_, y):
+        return fn(y).astype(x.dtype)
+    return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+
+
+def timed(fn, x):
+    f = jax.jit(lambda x: chain(fn, x))
+    float(f(x))  # compile + warm
+    ts = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append((time.perf_counter() - t0) / ITERS)
+    return min(ts)
+
+
+def main():
+    from textualdegremoval_tpu.models.layers import TransformerBlock
+
+    dim = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    hgt = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    wdt = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    heads = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, hgt, wdt, dim),
+                          jnp.bfloat16)
+    xla_blk = TransformerBlock(dim, heads, dtype=jnp.bfloat16, fused=False)
+    params = jax.jit(xla_blk.init)(jax.random.PRNGKey(1),
+                                   x.astype(jnp.float32))
+    fused_blk = TransformerBlock(dim, heads, dtype=jnp.bfloat16, fused=True)
+
+    t_xla = timed(lambda y: xla_blk.apply(params, y), x)
+    print(f"xla   block dim={dim} {hgt}x{wdt} heads={heads}: "
+          f"{t_xla * 1e3:.3f} ms")
+    t_fused = timed(lambda y: fused_blk.apply(params, y), x)
+    print(f"fused block dim={dim} {hgt}x{wdt} heads={heads}: "
+          f"{t_fused * 1e3:.3f} ms  ({t_xla / t_fused:.2f}x)")
+
+    # parity spot check on-device (bf16 tolerance)
+    a = jax.jit(lambda y: xla_blk.apply(params, y))(x).astype(jnp.float32)
+    b = jax.jit(lambda y: fused_blk.apply(params, y))(x).astype(jnp.float32)
+    err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+    print(f"max rel err fused vs xla: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()
