@@ -75,6 +75,35 @@ class TestDinoConversion:
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
+class TestDinoSwiGLUConversion:
+    def test_numeric_parity_swiglu(self):
+        # giant2's block shape (swiglufused FFN) at toy dims
+        tm = randomize(ODino(img_size=28, patch=14, dim=24, depth=2, heads=2,
+                             ffn="swiglufused"))
+        tm.eval()
+        x = torch.randn(1, 3, 28, 28, generator=torch.Generator().manual_seed(4))
+        with torch.no_grad():
+            want = tm(x).numpy()
+
+        fm = DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=24,
+                                   depth=2, num_heads=2,
+                                   ffn_layer="swiglufused")
+        params = {"params": convert_dino(tm.state_dict())}
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        init = fm.init(KEY, xj)
+        assert verify_against_init(params["params"], init["params"]) == []
+        got = fm.apply(params, xj)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_giant2_factory_config(self):
+        from textualdegremoval_tpu.models.dino import vit_giant2
+
+        m = vit_giant2()
+        # reference vision_transformers.py:379-393
+        assert (m.embed_dim, m.depth, m.num_heads) == (1536, 40, 24)
+        assert m.ffn_layer == "swiglufused"
+
+
 class TestCLIPTextConversion:
     def test_numeric_parity(self):
         tm = randomize(OCLIPText(vocab=100, maxpos=16, dim=64, depth=2,

@@ -486,7 +486,7 @@ class OMapper(nn.Module):
 
 
 class ODinoBlock(nn.Module):
-    def __init__(self, dim, heads):
+    def __init__(self, dim, heads, ffn="mlp"):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = nn.Module()
@@ -496,8 +496,15 @@ class ODinoBlock(nn.Module):
         self.ls1.gamma = nn.Parameter(torch.ones(dim))
         self.norm2 = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = nn.Module()
-        self.mlp.fc1 = nn.Linear(dim, dim * 4)
-        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.ffn = ffn
+        if ffn == "swiglufused":
+            # reference swiglu_ffn.py:14-34 + the Fused hidden rounding
+            hidden = (int(dim * 4 * 2 / 3) + 7) // 8 * 8
+            self.mlp.w12 = nn.Linear(dim, 2 * hidden)
+            self.mlp.w3 = nn.Linear(hidden, dim)
+        else:
+            self.mlp.fc1 = nn.Linear(dim, dim * 4)
+            self.mlp.fc2 = nn.Linear(dim * 4, dim)
         self.ls2 = nn.Module()
         self.ls2.gamma = nn.Parameter(torch.ones(dim))
         self.heads = heads
@@ -511,21 +518,28 @@ class ODinoBlock(nn.Module):
         out = out.transpose(1, 2).reshape(b, n, d)
         return self.attn.proj(out)
 
+    def _ffn(self, x):
+        if self.ffn == "swiglufused":
+            x1, x2 = self.mlp.w12(x).chunk(2, dim=-1)
+            return self.mlp.w3(F.silu(x1) * x2)
+        return self.mlp.fc2(F.gelu(self.mlp.fc1(x)))
+
     def forward(self, x):
         x = x + self._attn(self.norm1(x)) * self.ls1.gamma
-        x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x)))) * self.ls2.gamma
+        x = x + self._ffn(self.norm2(x)) * self.ls2.gamma
         return x
 
 
 class ODino(nn.Module):
-    def __init__(self, img_size=28, patch=14, dim=32, depth=2, heads=2):
+    def __init__(self, img_size=28, patch=14, dim=32, depth=2, heads=2,
+                 ffn="mlp"):
         super().__init__()
         self.patch_embed = nn.Module()
         self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
         self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         n = (img_size // patch) ** 2
         self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
-        self.blocks = nn.ModuleList([ODinoBlock(dim, heads)
+        self.blocks = nn.ModuleList([ODinoBlock(dim, heads, ffn)
                                      for _ in range(depth)])
         self.norm = nn.LayerNorm(dim, eps=1e-6)
 

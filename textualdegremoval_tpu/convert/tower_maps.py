@@ -107,10 +107,16 @@ def convert_dino(state_dict) -> dict:
         out[f"{d}/attn/qkv/bias"] = sd[f"{p}.attn.qkv.bias"]
         out[f"{d}/attn/proj/kernel"] = sd[f"{p}.attn.proj.weight"].T
         out[f"{d}/attn/proj/bias"] = sd[f"{p}.attn.proj.bias"]
-        out[f"{d}/mlp/fc1/kernel"] = sd[f"{p}.mlp.fc1.weight"].T
-        out[f"{d}/mlp/fc1/bias"] = sd[f"{p}.mlp.fc1.bias"]
-        out[f"{d}/mlp/fc2/kernel"] = sd[f"{p}.mlp.fc2.weight"].T
-        out[f"{d}/mlp/fc2/bias"] = sd[f"{p}.mlp.fc2.bias"]
+        if f"{p}.mlp.w12.weight" in sd:  # SwiGLU FFN (giant2)
+            out[f"{d}/mlp/w12/kernel"] = sd[f"{p}.mlp.w12.weight"].T
+            out[f"{d}/mlp/w12/bias"] = sd[f"{p}.mlp.w12.bias"]
+            out[f"{d}/mlp/w3/kernel"] = sd[f"{p}.mlp.w3.weight"].T
+            out[f"{d}/mlp/w3/bias"] = sd[f"{p}.mlp.w3.bias"]
+        else:
+            out[f"{d}/mlp/fc1/kernel"] = sd[f"{p}.mlp.fc1.weight"].T
+            out[f"{d}/mlp/fc1/bias"] = sd[f"{p}.mlp.fc1.bias"]
+            out[f"{d}/mlp/fc2/kernel"] = sd[f"{p}.mlp.fc2.weight"].T
+            out[f"{d}/mlp/fc2/bias"] = sd[f"{p}.mlp.fc2.bias"]
     return _unflatten(out)
 
 

@@ -38,6 +38,24 @@ class DinoMlp(nn.Module):
                         name="fc2")(x)
 
 
+class DinoSwiGLU(nn.Module):
+    """SwiGLU FFN (reference models/dino/swiglu_ffn.py:14-34): one fused
+    w12 projection to 2*hidden, silu(x1)*x2 gate, w3 out.  hidden follows
+    SwiGLUFFNFused's rule: (int(4*dim * 2/3) + 7) // 8 * 8."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="w12")(x)
+        x1, x2 = x12[..., :self.hidden], x12[..., self.hidden:]
+        return nn.Dense(self.out, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="w3")(jax.nn.silu(x1) * x2)
+
+
 class DinoAttention(nn.Module):
     dim: int
     num_heads: int
@@ -63,6 +81,7 @@ class DinoBlock(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    ffn_layer: str = "mlp"  # "mlp" | "swiglufused" (vision_transformers.py:121-126)
 
     @nn.compact
     def __call__(self, x):
@@ -78,8 +97,13 @@ class DinoBlock(nn.Module):
                               name="attn")(y) * ls1.astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
-        x = x + DinoMlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-                        name="mlp")(y) * ls2.astype(x.dtype)
+        if self.ffn_layer == "swiglufused":
+            hidden = (int(self.dim * self.mlp_ratio * 2 / 3) + 7) // 8 * 8
+            ffn = DinoSwiGLU(hidden, self.dim, self.dtype, name="mlp")
+        else:
+            ffn = DinoMlp(int(self.dim * self.mlp_ratio), self.dim,
+                          self.dtype, name="mlp")
+        x = x + ffn(y) * ls2.astype(x.dtype)
         return x
 
 
@@ -92,6 +116,7 @@ class DinoVisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    ffn_layer: str = "mlp"
 
     @nn.compact
     def __call__(self, x):
@@ -129,7 +154,8 @@ class DinoVisionTransformer(nn.Module):
 
         for i in range(self.depth):
             x = DinoBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                          self.init_values, self.dtype, name=f"blocks_{i}")(x)
+                          self.init_values, self.dtype, self.ffn_layer,
+                          name=f"blocks_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm")(x)
         return x[:, 1:]  # patch tokens
@@ -145,6 +171,13 @@ def vit_small(**kw) -> DinoVisionTransformer:
 
 def vit_large(**kw) -> DinoVisionTransformer:
     return DinoVisionTransformer(embed_dim=1024, depth=24, num_heads=16, **kw)
+
+
+def vit_giant2(**kw) -> DinoVisionTransformer:
+    """DINOv2 ViT-g/14 (reference vision_transformers.py:379-393): embed
+    1536, depth 40, 24 heads (64 per head), SwiGLU-fused FFN."""
+    kw.setdefault("ffn_layer", "swiglufused")
+    return DinoVisionTransformer(embed_dim=1536, depth=40, num_heads=24, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -13,8 +13,16 @@ see BENCH_NOTES.md).  Prints one JSON line:
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# same rig pins as bench.py: relay-side compiler + persistent compile cache
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdr_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import jax
 import jax.numpy as jnp
