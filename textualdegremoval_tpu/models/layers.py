@@ -155,6 +155,44 @@ class _ConvKernel(nn.Module):
                           self.shape, jnp.float32)
 
 
+class _ConvKB(nn.Module):
+    """Bare conv kernel+bias parameter holder (names/shapes/init match
+    nn.Conv with use_bias=True, so fused-kernel checkpoints are
+    interchangeable)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.shape[-1],), jnp.float32)
+        return k, b
+
+
+class _LN2dParams(nn.Module):
+    """Bare LayerNorm2d parameter holder (names match LayerNorm2d)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return w, b
+
+
+class _SCAParams(nn.Module):
+    """Bare SCA parameter holder (nested 'conv' scope matches SCA)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvKB((1, 1, self.dim, self.dim), name="conv")()
+
+
 class GDFN(nn.Module):
     """Gated-dconv FFN (network_restormer_guided_arch.py:223-241).
 
@@ -533,18 +571,56 @@ class SCA(nn.Module):
 
 
 class NAFBlock(nn.Module):
-    """NAFNet block (network_nafnet_guided_arch.py:178-238)."""
+    """NAFNet block (network_nafnet_guided_arch.py:178-238).
+
+    fused: run the ENTIRE block (LN1 + conv1 + dwconv + SimpleGate + SCA +
+    conv3 + LN2 + pointwise FFN + residuals) as the two-pass streaming
+    Pallas kernel (ops/pallas/nafblock.py) — same whole-block design that
+    won in-model for TransformerBlock (BENCH_NOTES.md round 3).  Only for
+    the global-pool SCA (TLC local pooling keeps the module path) and the
+    default expansions.  Auto (None): $TDR_FUSED_NAFBLOCK.  Parameter
+    names/shapes are identical in both paths, so checkpoints are
+    interchangeable."""
 
     dim: int
     dw_expand: int = 2
     ffn_expand: int = 2
     tlc_kernel: tuple[int, int] | None = None
     dtype: jnp.dtype = jnp.float32
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, inp):
         c = self.dim
         dw = c * self.dw_expand
+        fused = self.fused
+        if fused is None:
+            import os
+            fused = os.environ.get("TDR_FUSED_NAFBLOCK") in (
+                "1", "true", "on")
+        if (fused and self.tlc_kernel is None and self.dw_expand == 2
+                and self.ffn_expand == 2):
+            from textualdegremoval_tpu.ops.pallas.nafblock import (
+                nafblock_fused, nafblock_ref)
+
+            n1w, n1b = _LN2dParams(c, name="norm1")()
+            w1, b1 = _ConvKB((1, 1, c, dw), name="conv1")()
+            dwk, dwb = _ConvKB((3, 3, 1, dw), name="conv2")()
+            sca_w, sca_b = _SCAParams(c, name="sca")()
+            w3, b3 = _ConvKB((1, 1, c, c), name="conv3")()
+            beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+            n2w, n2b = _LN2dParams(c, name="norm2")()
+            w4, b4 = _ConvKB((1, 1, c, dw), name="conv4")()
+            w5, b5 = _ConvKB((1, 1, c, c), name="conv5")()
+            gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+            p = dict(norm1_w=n1w, norm1_b=n1b, w1=w1, b1=b1, dw=dwk,
+                     dwb=dwb, sca_w=sca_w, sca_b=sca_b, w3=w3, b3=b3,
+                     beta=beta, norm2_w=n2w, norm2_b=n2b, w4=w4, b4=b4,
+                     w5=w5, b5=b5, gamma=gamma)
+            xd = inp.astype(self.dtype)
+            if jax.default_backend() == "tpu":
+                return nafblock_fused(xd, p)
+            return nafblock_ref(xd, p)
         x = LayerNorm2d(c, name="norm1")(inp)
         x = nn.Conv(dw, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv1")(x)
