@@ -76,8 +76,7 @@ def main():
     tx = make_guidance_optimizer(params, "i2t", lr=1e-6)
     opt_state = tx.init(params)
 
-    def one_step(carry, rng):
-        p, o = carry
+    def one_step(p, o, batch, rng):
         # same semantics as make_guidance_train_step (partitioned grads:
         # frozen towers are constants), unjitted so the chain fori_loop can
         # carry it
@@ -86,10 +85,13 @@ def main():
         p = optax.apply_updates(p, updates)
         return (p, o), loss
 
-    def chain(params, opt_state, rng):
+    # params/opt_state/batch as jit ARGUMENTS, not closures: the relay
+    # serializes closed-over device arrays into the compile request body,
+    # which can blow its size limit (HTTP 413)
+    def chain(params, opt_state, batch, rng):
         def body(i, carry):
             (p, o), _ = carry
-            return one_step((p, o), jax.random.fold_in(rng, i))
+            return one_step(p, o, batch, jax.random.fold_in(rng, i))
         out = jax.lax.fori_loop(
             0, ITERS, body, ((params, opt_state), jnp.zeros((), jnp.float32)))
         return out[1]
@@ -104,11 +106,11 @@ def main():
 
     rng = jax.random.PRNGKey(1)
     print("compiling the chained train step...", file=sys.stderr)
-    float(fn(params, opt_state, rng))
+    float(fn(params, opt_state, batch, rng))
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        float(fn(params, opt_state, rng))
+        float(fn(params, opt_state, batch, rng))
         times.append((time.perf_counter() - t0 - overhead) / ITERS)
     mean = sum(times) / len(times)
     print(f"i2t train step: {mean * 1e3:.1f} ms (batch {BATCH} @ {SIZE}px, "

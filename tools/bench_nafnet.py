@@ -40,7 +40,10 @@ def main():
     ref = jax.random.normal(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(model.init)(key, lq, ref)
 
-    def chain(lq):
+    # params/ref MUST be jit arguments, not closures: the relay serializes
+    # closed-over device arrays into the compile request body, which blows
+    # its size limit (HTTP 413) on full-size models
+    def chain(params, lq, ref):
         def body(_, y):
             return model.apply(params, y, ref).astype(lq.dtype)
         return jnp.sum(jax.lax.fori_loop(0, ITERS, body, lq))
@@ -53,11 +56,11 @@ def main():
         float(tiny(lq))
     overhead = (time.perf_counter() - t0) / 5
 
-    float(fn(lq))  # compile + warm
+    float(fn(params, lq, ref))  # compile + warm
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        float(fn(lq))
+        float(fn(params, lq, ref))
         times.append((time.perf_counter() - t0 - overhead) / (ITERS * BATCH))
     mean = sum(times) / len(times)
     imgs_per_sec = 1.0 / mean

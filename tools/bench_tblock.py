@@ -20,19 +20,21 @@ ITERS = 10
 REPEATS = 3
 
 
-def chain(fn, x, iters=ITERS):
+def chain(fn, params, x, iters=ITERS):
     def body(_, y):
-        return fn(y).astype(x.dtype)
+        return fn(params, y).astype(x.dtype)
     return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
 
 
-def timed(fn, x):
-    f = jax.jit(lambda x: chain(fn, x))
-    float(f(x))  # compile + warm
+def timed(fn, params, x):
+    # params as a jit argument, not a closure: the relay serializes
+    # closed-over device arrays into the compile request body (HTTP 413)
+    f = jax.jit(lambda p, x: chain(fn, p, x))
+    float(f(params, x))  # compile + warm
     ts = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        float(f(x))
+        float(f(params, x))
         ts.append((time.perf_counter() - t0) / ITERS)
     return min(ts)
 
@@ -52,16 +54,16 @@ def main():
                                    x.astype(jnp.float32))
     fused_blk = TransformerBlock(dim, heads, dtype=jnp.bfloat16, fused=True)
 
-    t_xla = timed(lambda y: xla_blk.apply(params, y), x)
+    t_xla = timed(lambda p, y: xla_blk.apply(p, y), params, x)
     print(f"xla   block dim={dim} {hgt}x{wdt} heads={heads}: "
           f"{t_xla * 1e3:.3f} ms")
-    t_fused = timed(lambda y: fused_blk.apply(params, y), x)
+    t_fused = timed(lambda p, y: fused_blk.apply(p, y), params, x)
     print(f"fused block dim={dim} {hgt}x{wdt} heads={heads}: "
           f"{t_fused * 1e3:.3f} ms  ({t_xla / t_fused:.2f}x)")
 
     # parity spot check on-device (bf16 tolerance)
-    a = jax.jit(lambda y: xla_blk.apply(params, y))(x).astype(jnp.float32)
-    b = jax.jit(lambda y: fused_blk.apply(params, y))(x).astype(jnp.float32)
+    a = jax.jit(xla_blk.apply)(params, x).astype(jnp.float32)
+    b = jax.jit(fused_blk.apply)(params, x).astype(jnp.float32)
     err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
     print(f"max rel err fused vs xla: {err:.2e}")
 
