@@ -299,6 +299,68 @@ class _GDFNParams(nn.Module):
         return dict(gd_in=gd_in, gd_dw=gd_dw, gd_out=gd_out)
 
 
+class _TBlockParamBundle(nn.Module):
+    """All parameters of one TransformerBlock as a natural-shape dict
+    (scope/param names identical to TransformerBlock, so checkpoints are
+    interchangeable with both the module path and the fused kernel)."""
+
+    dim: int
+    num_heads: int
+    ffn_expansion_factor: float = 2.66
+    ln_type: str = "WithBias"
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _LNParams(self.dim, self.ln_type, name="norm1")()
+        attn_p = _MDTAParams(self.dim, self.num_heads, name="attn")()
+        w2, b2 = _LNParams(self.dim, self.ln_type, name="norm2")()
+        ffn_p = _GDFNParams(self.dim, self.ffn_expansion_factor,
+                            name="ffn")()
+        p = dict(norm1_w=w1, norm2_w=w2, **attn_p, **ffn_p)
+        if b1 is not None:
+            p["norm1_b"] = b1
+            p["norm2_b"] = b2
+        return p
+
+
+def tblock_stage(x, dim, num_heads, n, name, *, ffn_expansion_factor=2.66,
+                 use_bias=False, ln_type="WithBias", dtype=jnp.float32,
+                 fused=None):
+    """A sequence of n TransformerBlocks named ``{name}_{i}``.
+
+    In chain-fused mode (``$TDR_FUSED_TBLOCK_CHAIN``, or fused=True) the
+    whole stage runs as the cross-block-fused Pallas chain
+    (ops/pallas/tblock.py tblock_chain_fused): pass B of block i also
+    accumulates block i+1's attention statistics, so each intermediate
+    activation crosses HBM once.  Parameter names/shapes are identical to
+    the per-block paths.  Must be called from a compact module context.
+    """
+    if fused is None:
+        import os
+        fused = os.environ.get("TDR_FUSED_TBLOCK_CHAIN") in (
+            "1", "true", "on")
+    if not fused or use_bias or n == 0:
+        for i in range(n):
+            x = TransformerBlock(
+                dim, num_heads, ffn_expansion_factor=ffn_expansion_factor,
+                use_bias=use_bias, ln_type=ln_type, dtype=dtype,
+                name=f"{name}_{i}")(x)
+        return x
+    from textualdegremoval_tpu.ops.pallas.tblock import (
+        tblock_chain_fused, tblock_ref)
+
+    ps = tuple(
+        _TBlockParamBundle(dim, num_heads, ffn_expansion_factor, ln_type,
+                           name=f"{name}_{i}")()
+        for i in range(n))
+    xd = x.astype(dtype)
+    if jax.default_backend() == "tpu":
+        return tblock_chain_fused(xd, ps, num_heads, ln_type)
+    for p in ps:
+        xd = tblock_ref(xd, p, num_heads, ln_type)
+    return xd
+
+
 class TransformerBlock(nn.Module):
     """Restormer block (network_restormer_guided_arch.py:318-331).
 

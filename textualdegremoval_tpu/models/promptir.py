@@ -20,6 +20,7 @@ import flax.linen as nn
 
 from textualdegremoval_tpu.models.layers import (
     TransformerBlock,
+    tblock_stage,
     TransformerResFusionBlock,
     OverlapPatchEmbed,
     Downsample,
@@ -77,9 +78,7 @@ def _promptir_trunk(self, inp, warp=None):
 
         def blocks(dim, heads, n, name):
             def run(x):
-                for i in range(n):
-                    x = TransformerBlock(dim, heads, **kw, name=f"{name}_{i}")(x)
-                return x
+                return tblock_stage(x, dim, heads, n, name, **kw)
             return run
 
         def fuse(x, warp_l, heads, n, name):

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from textualdegremoval_tpu.models.layers import (
-    TransformerBlock,
     TransformerResFusionBlock,
+    tblock_stage,
     OverlapPatchEmbed,
     Downsample,
     Upsample,
@@ -50,9 +50,7 @@ class Restormer(nn.Module):
 
         def blocks(dim, heads, n, name):
             def run(x):
-                for i in range(n):
-                    x = TransformerBlock(dim, heads, **kw, name=f"{name}_{i}")(x)
-                return x
+                return tblock_stage(x, dim, heads, n, name, **kw)
             return run
 
         b, h0, w0, _ = inp_img.shape
@@ -177,9 +175,7 @@ class RestormerRefFusion(nn.Module):
 
         def blocks(dim, heads, n, name):
             def run(x):
-                for i in range(n):
-                    x = TransformerBlock(dim, heads, **kw, name=f"{name}_{i}")(x)
-                return x
+                return tblock_stage(x, dim, heads, n, name, **kw)
             return run
 
         def fuse(x, warp_l, heads, n, name):

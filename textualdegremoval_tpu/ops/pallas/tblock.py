@@ -278,6 +278,150 @@ def _make_apply_kernel(t, w, c, hpad, ch, ln_type):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Chained pass: apply block i + stats of block i+1 in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_apply_stats_kernel(t, w, c, hpad, ch, ln_type):
+    """Pass B of block i extended one row down (out rows i*t..i*t+t) plus
+    the pass-A statistics of block i+1 over the body rows, using a 1-row
+    stash of the previous tile's last output row as the top halo.  Saves
+    the next block's full input re-read: per block-pair the x tensor
+    crosses HBM (1 + 4/t) reads + 1 write instead of (2 + 6/t) + 1."""
+    nchunk = hpad // ch
+
+    def kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref, xn3_ref,
+               ln1w_ref, ln1b_ref, wv_ref, dwv_ref, at_ref, wproj_ref,
+               ln2w_ref, ln2b_ref, w1_ref, dwg_ref, w2_ref,
+               n1w_ref, n1b_ref, wq_ref, wk_ref, dwqk_ref,
+               out_ref, gram_ref, qs_ref, ks_ref,
+               xh, x1, acc, stash):
+        i = pl.program_id(1)
+        n = pl.num_programs(1)
+        # xh rows 0..t+4 = image rows i*t-2 .. i*t+t+2
+        xh[:] = jnp.concatenate(
+            [xp2_ref[0], xp1_ref[0], xc_ref[0], xn1_ref[0], xn2_ref[0],
+             xn3_ref[0]], axis=0)
+
+        xf = xh[:].astype(jnp.float32)
+        y = _ln_rows(xf, ln1w_ref[...], ln1b_ref[...], ln_type)
+        v_lin = jax.lax.dot_general(
+            y.reshape((t + 5) * w, c).astype(xh.dtype), wv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xh.dtype).reshape(t + 5, w, c)
+        # zero the out-of-image qkv rows (reference zero-pads qkv):
+        # top 2 rows at i==0 (image rows -2, -1), bottom 3 at i==n-1
+        # (image rows H, H+1, H+2)
+        zrow = jnp.zeros((1, w, c), v_lin.dtype)
+        r0 = jnp.where(i == 0, zrow, v_lin[0:1])
+        r1 = jnp.where(i == 0, zrow, v_lin[1:2])
+        b0 = jnp.where(i == n - 1, zrow, v_lin[t + 2:t + 3])
+        b1 = jnp.where(i == n - 1, zrow, v_lin[t + 3:t + 4])
+        b2 = jnp.where(i == n - 1, zrow, v_lin[t + 4:t + 5])
+        v_lin = jnp.concatenate([r0, r1, v_lin[2:t + 2], b0, b1, b2], axis=0)
+        # v on rows i*t-1 .. i*t+t+1 (t+3 rows)
+        v = _dw3x3_rows(v_lin, dwv_ref, 0, t + 3, w, c,
+                        slice(0, c)).astype(xh.dtype)
+
+        o = jax.lax.dot_general(
+            v.reshape((t + 3) * w, c), at_ref[0].astype(xh.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xh.dtype)
+        proj = jax.lax.dot_general(
+            o, wproj_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xh.dtype).reshape(t + 3, w, c)
+        # x1 rows = image rows i*t-1 .. i*t+t+1
+        x1[:] = xh[1:t + 4] + proj
+
+        zf = _ln_rows(x1[:].astype(jnp.float32), ln2w_ref[...],
+                      ln2b_ref[...], ln_type)
+        z2d = zf.reshape((t + 3) * w, c).astype(xh.dtype)
+        acc[:] = jnp.zeros_like(acc)
+        for ci in range(nchunk):
+            csl1 = slice(ci * ch, (ci + 1) * ch)
+            csl2 = slice(hpad + ci * ch, hpad + (ci + 1) * ch)
+
+            def hid_of(csl):
+                hid = jax.lax.dot_general(
+                    z2d, w1_ref[:, csl].astype(z2d.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(z2d.dtype).reshape(t + 3, w, ch)
+                # zero out-of-image hidden rows: 1 top at i==0 (image -1),
+                # 2 bottom at i==n-1 (image H, H+1)
+                zr = jnp.zeros((1, w, ch), hid.dtype)
+                top = jnp.where(i == 0, zr, hid[0:1])
+                bm0 = jnp.where(i == n - 1, zr, hid[t + 1:t + 2])
+                bm1 = jnp.where(i == n - 1, zr, hid[t + 2:t + 3])
+                return jnp.concatenate([top, hid[1:t + 1], bm0, bm1], axis=0)
+
+            d1 = _dw3x3_rows(hid_of(csl1), dwg_ref, 0, t + 1, w, ch,
+                             slice(csl1.start, csl1.stop))
+            d2 = _dw3x3_rows(hid_of(csl2), dwg_ref, 9, t + 1, w, ch,
+                             slice(csl1.start, csl1.stop))
+            gate = _gelu_exact(d1) * d2
+            acc[:] += jax.lax.dot_general(
+                gate.reshape((t + 1) * w, ch).astype(z2d.dtype),
+                w2_ref[csl1.start:csl1.stop],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(t + 1, w, c)
+
+        # out rows i*t .. i*t+t (body + 1 extra bottom row for the stats
+        # halo; the extra row is out-of-image garbage only at i==n-1,
+        # where the stats mask zeroes it)
+        out_full = (x1[1:t + 2] + acc[:].astype(xh.dtype)).astype(xh.dtype)
+        out_ref[0] = out_full[:t].astype(out_ref.dtype)
+
+        # ---- pass-A statistics of block i+1 over the body rows ----
+        # stats span: stash (image row i*t-1, written by the previous grid
+        # step) + out_full (rows i*t .. i*t+t)
+        top_row = stash[:]
+        so = jnp.concatenate([top_row, out_full], axis=0)  # (t+2, W, C)
+        sf = so.astype(jnp.float32)
+        ys = _ln_rows(sf, n1w_ref[...], n1b_ref[...], ln_type)
+        ys2d = ys.reshape((t + 2) * w, c).astype(xh.dtype)
+
+        def lin_dw(wlin, row0):
+            lin = jax.lax.dot_general(
+                ys2d, wlin, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xh.dtype).reshape(t + 2, w, c)
+            zr = jnp.zeros((1, w, c), lin.dtype)
+            topm = jnp.where(i == 0, zr, lin[0:1])
+            botm = jnp.where(i == n - 1, zr, lin[t + 1:t + 2])
+            lin = jnp.concatenate([topm, lin[1:t + 1], botm], axis=0)
+            return _dw3x3_rows(lin, dwqk_ref, row0, t, w, c,
+                               slice(0, c)).astype(xh.dtype)
+
+        q = lin_dw(wq_ref[...], 0).reshape(t * w, c)
+        k = lin_dw(wk_ref[...], 9).reshape(t * w, c)
+
+        @pl.when(i == 0)
+        def _init():
+            gram_ref[...] = jnp.zeros_like(gram_ref)
+            qs_ref[...] = jnp.zeros_like(qs_ref)
+            ks_ref[...] = jnp.zeros_like(ks_ref)
+
+        gram_ref[0] += jax.lax.dot_general(
+            q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qs_ref[0] += jnp.sum(qf * qf, axis=0, keepdims=True)
+        ks_ref[0] += jnp.sum(kf * kf, axis=0, keepdims=True)
+
+        # stash this tile's last body output row (image row i*t+t-1) as the
+        # next tile's top stats-halo
+        stash[:] = out_full[t - 1:t]
+
+    return kernel
+
+
 # measured-optimal row tiles per (W, C) on v5e (tools/bench_tblock.py
 # sweep, BENCH_NOTES.md round 3); t=8 at (512, 96) exceeds the 16 MB
 # scoped-VMEM budget, t=2 is always slower
@@ -304,6 +448,46 @@ def _pick_tile(wdt: int, c: int) -> int:
 
 
 _INTERPRET = False
+
+
+def _prep_block_weights(p, c, x_dtype, ln_type):
+    """Kernel-layout weights for one block (shared by the single-block and
+    chained paths)."""
+    f32 = jnp.float32
+    qkv = p["qkv"].reshape(c, 3 * c).astype(f32)
+    wq, wk, wv = qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:]
+    dwqkv = p["qkv_dw"].reshape(9, 3 * c).astype(f32)
+    dwqk = jnp.concatenate([dwqkv[:, :c], dwqkv[:, c:2 * c]], axis=0)
+    dwv = dwqkv[:, 2 * c:]
+
+    h2 = p["gd_in"].shape[-1]
+    hidden = h2 // 2
+    ch = 128
+    hpad = _round_up(hidden, ch)
+    w1 = p["gd_in"].reshape(c, h2).astype(f32)
+    w1s = jnp.zeros((c, 2 * hpad), f32)
+    w1s = w1s.at[:, :hidden].set(w1[:, :hidden])
+    w1s = w1s.at[:, hpad:hpad + hidden].set(w1[:, hidden:])
+    dwgf = p["gd_dw"].reshape(9, h2).astype(f32)
+    dwgs = jnp.zeros((18, hpad), f32)
+    dwgs = dwgs.at[:9, :hidden].set(dwgf[:, :hidden])
+    dwgs = dwgs.at[9:, :hidden].set(dwgf[:, hidden:])
+    w2s = jnp.zeros((hpad, c), f32).at[:hidden].set(
+        p["gd_out"].reshape(hidden, c).astype(f32))
+
+    return dict(
+        ln1w=p["norm1_w"].astype(f32).reshape(1, c),
+        ln1b=(p["norm1_b"].astype(f32).reshape(1, c)
+              if ln_type != "BiasFree" else jnp.zeros((1, c), f32)),
+        ln2w=p["norm2_w"].astype(f32).reshape(1, c),
+        ln2b=(p["norm2_b"].astype(f32).reshape(1, c)
+              if ln_type != "BiasFree" else jnp.zeros((1, c), f32)),
+        wq=wq.astype(x_dtype), wk=wk.astype(x_dtype), dwqk=dwqk,
+        wv=wv.astype(x_dtype), dwv=dwv,
+        wproj=p["proj"].reshape(c, c).astype(x_dtype),
+        w1s=w1s, dwgs=dwgs, w2s=w2s.astype(x_dtype),
+        hpad=hpad, ch=ch, temperature=p["temperature"],
+    )
 
 
 def _attn_matrix(gram, qssq, kssq, temperature, heads, dtype):
@@ -450,3 +634,171 @@ def _bwd(heads, ln_type, res, g):
 
 
 tblock_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Chained stages: B_i fused with A_{i+1}
+# ---------------------------------------------------------------------------
+
+
+def _tblock_chain_impl(x, ps, heads, ln_type, interpret=None):
+    if interpret is None:
+        interpret = _INTERPRET
+    n_blocks = len(ps)
+    if n_blocks == 0:
+        return x
+    b, hgt, wdt, c = x.shape
+    if n_blocks == 1:
+        return _tblock_impl(x, ps[0], heads, ln_type, interpret)
+    t = _pick_tile(wdt, c)
+    while t > 1 and hgt % t:
+        t //= 2
+    if t < 2 or hgt % t or wdt > 2048:
+        y = x
+        for p in ps:
+            y = tblock_ref(y, p, heads, ln_type)
+        return y
+    f32 = jnp.float32
+    W = [_prep_block_weights(p, c, x.dtype, ln_type) for p in ps]
+    hpad, ch = W[0]["hpad"], W[0]["ch"]
+    assert all(w["hpad"] == hpad for w in W)
+
+    # Scoped-VMEM budget for the combined kernel (16 MB/core hard limit;
+    # lanes pad c to multiples of 128).  Estimate calibrated against the
+    # compiler's reported 17.29 MB at (512, c48->128, t8); shrink the row
+    # tile until it fits, and fall back to the per-block fused kernels
+    # when even t=2 does not (the c>=768 deep levels, where both blocks'
+    # weights alone exceed the budget).
+    eb = jnp.dtype(x.dtype).itemsize
+    ce = -(-c // 128) * 128
+
+    def _vmem(tt):
+        per_row = wdt * ce * (eb * 3 + 4 + eb * 4)
+        fixed = (wdt * ce * (5 * eb + 3 * eb + 4 + 12 * eb)
+                 + 7 * ce * ce * eb + ce * 2 * hpad * 4
+                 + hpad * ce * eb + 2 * ce * ce * 4)
+        return 1.35 * (per_row * tt + fixed)
+
+    while t > 2 and (_vmem(t) > 15 * 1024 * 1024 or hgt % t):
+        t //= 2
+    if not interpret and _vmem(t) > 15 * 1024 * 1024:
+        y = x
+        for p in ps:
+            y = _tblock_impl(y, p, heads, ln_type, interpret)
+        return y
+    n_tiles = hgt // t
+
+    body = pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def row(off):
+        def imap(bi, i):
+            r = i * t + off
+            r = jnp.maximum(r, 0) if off < 0 else jnp.minimum(r, hgt - 1)
+            return (bi, r, 0, 0)
+        return pl.BlockSpec((1, 1, wdt, c), imap, memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    stat_specs = [
+        pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    stat_shapes = [
+        jax.ShapeDtypeStruct((b, c, c), f32),
+        jax.ShapeDtypeStruct((b, 1, c), f32),
+        jax.ShapeDtypeStruct((b, 1, c), f32),
+    ]
+    at_spec = pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    # pass A of block 0
+    w0 = W[0]
+    gram, qssq, kssq = pl.pallas_call(
+        _make_stats_kernel(t, wdt, c, ln_type),
+        grid=(b, n_tiles),
+        in_specs=[row(-1), body, row(t)] + [wspec] * 5,
+        out_specs=stat_specs,
+        out_shape=stat_shapes,
+        scratch_shapes=[pltpu.VMEM((t + 2, wdt, c), x.dtype)],
+        interpret=interpret,
+    )(x, x, x, w0["ln1w"], w0["ln1b"], w0["wq"], w0["wk"], w0["dwqk"])
+
+    # middle blocks: apply block i + stats of block i+1, one kernel each
+    for i in range(n_blocks - 1):
+        at = _attn_matrix(gram, qssq, kssq, W[i]["temperature"], heads,
+                          x.dtype).transpose(0, 2, 1)
+        wi, wn = W[i], W[i + 1]
+        x, gram, qssq, kssq = pl.pallas_call(
+            _make_apply_stats_kernel(t, wdt, c, hpad, ch, ln_type),
+            grid=(b, n_tiles),
+            in_specs=([row(-2), row(-1), body, row(t), row(t + 1),
+                       row(t + 2)] + [wspec] * 4 + [at_spec] + [wspec] * 11),
+            out_specs=[body] + stat_specs,
+            out_shape=[jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype)]
+            + stat_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((t + 5, wdt, c), x.dtype),
+                pltpu.VMEM((t + 3, wdt, c), x.dtype),
+                pltpu.VMEM((t + 1, wdt, c), jnp.float32),
+                pltpu.VMEM((1, wdt, c), x.dtype),
+            ],
+            interpret=interpret,
+        )(x, x, x, x, x, x,
+          wi["ln1w"], wi["ln1b"], wi["wv"], wi["dwv"], at, wi["wproj"],
+          wi["ln2w"], wi["ln2b"], wi["w1s"], wi["dwgs"], wi["w2s"],
+          wn["ln1w"], wn["ln1b"], wn["wq"], wn["wk"], wn["dwqk"])
+
+    # pass B of the last block
+    wl = W[-1]
+    at = _attn_matrix(gram, qssq, kssq, wl["temperature"], heads,
+                      x.dtype).transpose(0, 2, 1)
+    return pl.pallas_call(
+        _make_apply_kernel(t, wdt, c, hpad, ch, ln_type),
+        grid=(b, n_tiles),
+        in_specs=[row(-2), row(-1), body, row(t), row(t + 1),
+                  wspec, wspec, wspec, wspec, at_spec,
+                  wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=body,
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t + 4, wdt, c), x.dtype),
+            pltpu.VMEM((t + 2, wdt, c), x.dtype),
+            pltpu.VMEM((t, wdt, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, x, x, x, wl["ln1w"], wl["ln1b"], wl["wv"], wl["dwv"], at,
+      wl["wproj"], wl["ln2w"], wl["ln2b"], wl["w1s"], wl["dwgs"], wl["w2s"])
+
+
+def _chain_ref(x, ps, heads, ln_type):
+    for p in ps:
+        x = tblock_ref(x, p, heads, ln_type)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tblock_chain_fused(x, ps, heads: int, ln_type: str = "WithBias"):
+    """A sequence of fused TransformerBlocks with cross-block kernel
+    fusion: the streaming apply pass of block i also accumulates the
+    attention statistics of block i+1, so each intermediate activation
+    crosses HBM (1 + 4/t) reads + 1 write instead of (2 + 6/t) + 1.
+    x: (B, H, W, C); ps: tuple of per-block natural-shape param dicts."""
+    return _tblock_chain_impl(x, tuple(ps), heads, ln_type)
+
+
+def _chain_fwd(x, ps, heads, ln_type):
+    return _tblock_chain_impl(x, tuple(ps), heads, ln_type), (x, tuple(ps))
+
+
+def _chain_bwd(heads, ln_type, res, g):
+    x, ps = res
+    _, vjp = jax.vjp(lambda xx, pp: _chain_ref(xx, pp, heads, ln_type),
+                     x, ps)
+    return vjp(g)
+
+
+tblock_chain_fused.defvjp(_chain_fwd, _chain_bwd)
