@@ -69,6 +69,7 @@ class TestNAFNetConversion:
 
 
 class TestRefFusionConversion:
+    @pytest.mark.slow
     def test_forward_parity(self):
         kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
                   heads=(1, 1, 2, 2), nf=8, ext_n_blocks=(1, 1, 1, 1),

@@ -37,6 +37,7 @@ class TestDRSformer:
 
 
 class TestPromptIR:
+    @pytest.mark.slow
     def test_plain_decoder(self):
         m = PromptIR(dim=48, num_blocks=(1, 1, 1, 1),
                      num_refinement_blocks=1, heads=(1, 1, 2, 2), decoder=True)
@@ -60,6 +61,7 @@ class TestPromptIR:
 
 
 class TestSFNet:
+    @pytest.mark.slow
     def test_plain_multiscale_outputs(self):
         m = SFNet(num_res=2, base_channel=8)
         x = jax.random.normal(KEY, (1, 32, 32, 3))
@@ -76,6 +78,7 @@ class TestSFNet:
         outs = m.apply(variables, x)
         assert outs[2].shape == (1, 48, 48, 3)
 
+    @pytest.mark.slow
     def test_ref_fusion(self):
         m = SFNetRefFusion(num_res=2, base_channel=8, nf=8,
                            ext_n_blocks=(1, 1, 1),
