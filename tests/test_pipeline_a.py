@@ -227,6 +227,24 @@ def _tiny_setup():
     return mods, params, batch
 
 
+def test_remat_loss_and_grads_match():
+    # remat=True (UNet jax.checkpoint) must not change the loss or grads
+    from textualdegremoval_tpu.diffusion.pipeline import (
+        guidance_loss_and_grads)
+
+    mods, params, batch = _tiny_setup()
+    rng = jax.random.PRNGKey(11)
+    l0, g0 = guidance_loss_and_grads(mods, params, batch, rng, "i2t")
+    l1, g1 = guidance_loss_and_grads(mods, params, batch, rng, "i2t",
+                                     remat=True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (k0, a), (k1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7, err_msg=str(k0))
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_i2t_train_step(self):

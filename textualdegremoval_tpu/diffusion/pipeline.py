@@ -98,12 +98,17 @@ def text_states_with_injection(mods: GuidanceModules, params: dict,
 
 
 def diffusion_loss(mods: GuidanceModules, params: dict, batch, rng,
-                   use_clean_mapper: bool = False):
+                   use_clean_mapper: bool = False, remat: bool = False):
     """The shared eps-MSE loss for I2T / TR training.
 
     batch: pixel_values (B,H,W,3 in [-1,1] SD view of the target image),
            pixel_values_clip (B,224,224,3 CLIP view),
            input_ids (B,S), inj_index (B,).
+    remat: jax.checkpoint the UNet forward — gradients w.r.t. the injected
+    text states flow through every UNet layer, so without remat the whole
+    891M-param UNet's activations (incl. 4096-token self-attention logits)
+    are saved for backward; with remat they are recomputed and the step
+    fits a single 16 GB chip at the reference's batch 4 @ 512 px.
     """
     rng_noise, rng_t, rng_vae = jax.random.split(rng, 3)
     latents = mods.vae.apply(
@@ -119,8 +124,14 @@ def diffusion_loss(mods: GuidanceModules, params: dict, batch, rng,
                                 use_clean_mapper)
     hidden = text_states_with_injection(
         mods, params, batch["input_ids"], words, batch["inj_index"])
-    eps_pred = mods.unet.apply(
-        {"params": params["unet"]}, noisy, t, hidden, use_global_kv=True)
+
+    def unet_fn(unet_params, noisy, t, hidden):
+        return mods.unet.apply({"params": unet_params}, noisy, t, hidden,
+                               use_global_kv=True)
+
+    if remat:
+        unet_fn = jax.checkpoint(unet_fn)
+    eps_pred = unet_fn(params["unet"], noisy, t, hidden)
     # loss reduces in f32 even under bf16 towers (mixed-precision norm)
     return jnp.mean(jnp.square(
         eps_pred.astype(jnp.float32) - noise.astype(jnp.float32)))
@@ -156,7 +167,7 @@ def merge_params(train: dict, frozen: dict) -> dict:
 
 
 def guidance_loss_and_grads(mods: GuidanceModules, params, batch, rng,
-                            stage: str):
+                            stage: str, remat: bool = False):
     """(loss, full-tree grads) differentiating ONLY the trainable subtree.
 
     The frozen towers are captured as constants, so the backward pass never
@@ -171,7 +182,7 @@ def guidance_loss_and_grads(mods: GuidanceModules, params, batch, rng,
 
     def loss_fn(tp):
         return diffusion_loss(mods, merge_params(tp, frozen_p), batch, rng,
-                              use_clean)
+                              use_clean, remat)
 
     loss, gtrain = jax.value_and_grad(loss_fn)(train_p)
     zeros = {k: jnp.zeros_like(v) for k, v in frozen_p.items()}

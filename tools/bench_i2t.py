@@ -73,14 +73,23 @@ def main():
             key, jnp.zeros((1, SIZE, SIZE, 3)), key)["params"],
     }
 
+    # frozen towers held in bf16 (the reference's fp16 mixed-precision
+    # protocol — the modules cast to bf16 at use anyway, so storing f32
+    # only burns HBM: 1.9B params f32 + activations exceed the 16 GB chip)
+    from textualdegremoval_tpu.diffusion.pipeline import trainable_mask
+    mask = trainable_mask(params, "i2t")
+    params = jax.tree_util.tree_map(
+        lambda p, m: p if m else p.astype(jnp.bfloat16), params, mask)
+
     tx = make_guidance_optimizer(params, "i2t", lr=1e-6)
     opt_state = tx.init(params)
 
     def one_step(p, o, batch, rng):
         # same semantics as make_guidance_train_step (partitioned grads:
-        # frozen towers are constants), unjitted so the chain fori_loop can
-        # carry it
-        loss, grads = guidance_loss_and_grads(mods, p, batch, rng, "i2t")
+        # frozen towers are constants; UNet remat — see diffusion_loss),
+        # unjitted so the chain fori_loop can carry it
+        loss, grads = guidance_loss_and_grads(mods, p, batch, rng, "i2t",
+                                              remat=True)
         updates, o = tx.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         return (p, o), loss
