@@ -184,6 +184,31 @@ class TestTrainCLI:
         assert (ws / "out" / "i2t_params_2").exists()
         assert params is not None
 
+    def test_i2t_cli_bf16_remat(self, tmp_path):
+        # --mixed_precision bf16 + --remat: frozen towers stored bf16,
+        # UNet rematerialized; trainables keep f32 masters
+        from textualdegremoval_tpu.cli.train_i2t import main
+
+        ws = self._workspace(tmp_path)
+        params = main([
+            "--train_data_dir", str(ws / "imgs"),
+            "--pretrained_params", str(ws / "towers"),
+            "--output_dir", str(ws / "out_bf16"),
+            "--num_words", "4", "--train_batch_size", "2",
+            "--gradient_accumulation_steps", "1", "--max_train_steps", "2",
+            "--save_steps", "2", "--resolution", "16", "--seed", "0",
+            "--num_workers", "1", "--tiny_debug_towers",
+            "--mixed_precision", "bf16", "--remat",
+        ])
+        assert params is not None
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(params)
+        vae_leaves = [v for k, v in flat.items() if k[0] == "vae"]
+        assert vae_leaves and all(v.dtype == jnp.bfloat16
+                                  for v in vae_leaves)
+        assert all(v.dtype == jnp.float32 for k, v in flat.items()
+                   if k[0] == "mapper")
+
     def test_tr_cli_denoise_synth(self, tmp_path):
         from textualdegremoval_tpu.cli.train_tr import main
 

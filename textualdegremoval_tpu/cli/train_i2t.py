@@ -74,6 +74,14 @@ def run(stage: str, argv=None):
     ap.add_argument("--placeholder_token", default="S")
     ap.add_argument("--sigma_range", type=float, nargs=2, default=(5, 50),
                     help="TR denoise-synthesis sigma range (no HQ dir)")
+    ap.add_argument("--mixed_precision", default="no",
+                    choices=["no", "bf16"],
+                    help="bf16: tower activations in bf16 and frozen-tower "
+                         "weights stored bf16 (the reference's accelerate "
+                         "fp16 protocol, main_train_i2t_mapping.py:373-383)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the UNet forward (fits the "
+                         "reference's batch 4 @ 512px on one 16 GB chip)")
     ap.add_argument("--tiny_debug_towers", action="store_true",
                     help="use GuidanceModules.small_test_config — "
                          "infrastructure smoke only (tiny vocab: real "
@@ -86,14 +94,23 @@ def run(stage: str, argv=None):
     args = ap.parse_args(argv)
 
     logger = get_root_logger()
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     mods = (GuidanceModules.small_test_config(num_words=args.num_words)
             if args.tiny_debug_towers
-            else GuidanceModules.sd21_config(num_words=args.num_words))
+            else GuidanceModules.sd21_config(num_words=args.num_words,
+                                             dtype=dtype))
 
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(os.path.abspath(args.pretrained_params))
+    if args.mixed_precision == "bf16":
+        # frozen towers stored bf16 (they are cast to bf16 at use anyway;
+        # trainables keep f32 masters)
+        from textualdegremoval_tpu.diffusion.pipeline import trainable_mask
+        mask = trainable_mask(params, stage)
+        params = jax.tree_util.tree_map(
+            lambda p, m: p if m else p.astype(jnp.bfloat16), params, mask)
 
     lr = args.learning_rate
     if args.scale_lr:
@@ -103,7 +120,7 @@ def run(stage: str, argv=None):
     tx = make_guidance_optimizer(params, stage, lr=lr)
     if args.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
-    step_fn = make_guidance_train_step(mods, tx, stage)
+    step_fn = make_guidance_train_step(mods, tx, stage, remat=args.remat)
     opt_state = tx.init(params)
 
     # data: the tested guidance dataset classes through the DataLoader

@@ -189,10 +189,11 @@ def guidance_loss_and_grads(mods: GuidanceModules, params, batch, rng,
     return loss, traverse_util.unflatten_dict({**gtrain, **zeros})
 
 
-def make_guidance_train_step(mods: GuidanceModules, tx, stage: str):
+def make_guidance_train_step(mods: GuidanceModules, tx, stage: str,
+                             remat: bool = False):
     def step(params, opt_state, batch, rng):
         loss, grads = guidance_loss_and_grads(mods, params, batch, rng,
-                                              stage)
+                                              stage, remat)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
