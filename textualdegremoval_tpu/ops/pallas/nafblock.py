@@ -56,22 +56,16 @@ _EPS = 1e-6  # LayerNorm2d eps (nafnet_arch_utils.py:264-300)
 # ---------------------------------------------------------------------------
 
 
-def nafblock_ref(x, p):
-    """Whole NAFBlock, plain jnp.  p keys (natural module shapes):
-    norm1_w/b (C,), w1 (1,1,C,2C), b1 (2C,), dw (3,3,1,2C), dwb (2C,),
-    sca_w (1,1,C,C), sca_b (C,), w3 (1,1,C,C), b3 (C,), beta (1,1,1,C),
-    norm2_w/b, w4 (1,1,C,2C), b4 (2C,), w5 (1,1,C,C), b5 (C,),
-    gamma (1,1,1,C)."""
+def _lin(v, w, b, cin, cout):
+    y = jnp.einsum("bhwc,cd->bhwd", v, w.reshape(cin, cout).astype(v.dtype))
+    return y + b.astype(v.dtype)
+
+
+def _nafblock_conv_part(x, p):
     c = x.shape[-1]
     dt = x.dtype
-
-    def lin(v, w, b, cin, cout):
-        y = jnp.einsum("bhwc,cd->bhwd", v,
-                       w.reshape(cin, cout).astype(dt))
-        return y + b.astype(dt)
-
     y = layer_norm_2d(x, p["norm1_w"], p["norm1_b"])
-    h = lin(y, p["w1"], p["b1"], c, 2 * c)
+    h = _lin(y, p["w1"], p["b1"], c, 2 * c)
     h = jax.lax.conv_general_dilated(
         h, p["dw"].astype(dt), (1, 1), ((1, 1), (1, 1)),
         feature_group_count=2 * c,
@@ -79,16 +73,38 @@ def nafblock_ref(x, p):
     h = h + p["dwb"].astype(dt)
     g = h[..., :c] * h[..., c:]
     pooled = jnp.mean(g, axis=(1, 2), keepdims=True)
-    s = lin(pooled, p["sca_w"], p["sca_b"], c, c)
+    s = _lin(pooled, p["sca_w"], p["sca_b"], c, c)
     g = g * s
-    o = lin(g, p["w3"], p["b3"], c, c)
-    y1 = x + o * p["beta"].reshape(1, 1, 1, c).astype(dt)
+    o = _lin(g, p["w3"], p["b3"], c, c)
+    return x + o * p["beta"].reshape(1, 1, 1, c).astype(dt)
 
+
+def _nafblock_ffn_part(y1, p):
+    c = y1.shape[-1]
+    dt = y1.dtype
     z = layer_norm_2d(y1, p["norm2_w"], p["norm2_b"])
-    h2 = lin(z, p["w4"], p["b4"], c, 2 * c)
+    h2 = _lin(z, p["w4"], p["b4"], c, 2 * c)
     g2 = h2[..., :c] * h2[..., c:]
-    o2 = lin(g2, p["w5"], p["b5"], c, c)
+    o2 = _lin(g2, p["w5"], p["b5"], c, c)
     return y1 + o2 * p["gamma"].reshape(1, 1, 1, c).astype(dt)
+
+
+def nafblock_ref(x, p):
+    """Whole NAFBlock, plain jnp.  p keys (natural module shapes):
+    norm1_w/b (C,), w1 (1,1,C,2C), b1 (2C,), dw (3,3,1,2C), dwb (2C,),
+    sca_w (1,1,C,C), sca_b (C,), w3 (1,1,C,C), b3 (C,), beta (1,1,1,C),
+    norm2_w/b, w4 (1,1,C,2C), b4 (2C,), w5 (1,1,C,C), b5 (C,),
+    gamma (1,1,1,C)."""
+    return _nafblock_ffn_part(_nafblock_conv_part(x, p), p)
+
+
+def _nafblock_ref_remat(x, p):
+    """nafblock_ref with each half under jax.checkpoint(nothing_saveable)
+    for the custom_vjp backward — only one half's 2C-wide hidden tensors
+    are live at a time (see tblock._tblock_ref_remat)."""
+    nothing = jax.checkpoint_policies.nothing_saveable
+    x = jax.checkpoint(_nafblock_conv_part, policy=nothing)(x, p)
+    return jax.checkpoint(_nafblock_ffn_part, policy=nothing)(x, p)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +339,7 @@ def _fwd(x, p):
 
 def _bwd(res, g):
     x, p = res
-    _, vjp = jax.vjp(nafblock_ref, x, p)
+    _, vjp = jax.vjp(_nafblock_ref_remat, x, p)
     return vjp(g)
 
 

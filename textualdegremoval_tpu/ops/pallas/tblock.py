@@ -78,11 +78,7 @@ def _dw3x3_nhwc(x, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def tblock_ref(x, p, heads: int, ln_type: str = "WithBias"):
-    """Whole TransformerBlock, plain jnp.  p keys (natural module shapes):
-    norm1_w (C,), norm1_b (C,), qkv (1,1,C,3C), qkv_dw (3,3,1,3C),
-    temperature (heads,1,1), proj (1,1,C,C), norm2_w, norm2_b,
-    gd_in (1,1,C,2h), gd_dw (3,3,1,2h), gd_out (1,1,h,C)."""
+def _tblock_attn_part(x, p, heads, ln_type):
     c = x.shape[-1]
     y = _ln(x, p["norm1_w"], p.get("norm1_b"), ln_type)
     qkv = jnp.einsum("bhwc,cd->bhwd", y,
@@ -92,13 +88,42 @@ def tblock_ref(x, p, heads: int, ln_type: str = "WithBias"):
     o = mdta_attention_nhwc(q, k, v, p["temperature"], heads)
     o = jnp.einsum("bhwc,cd->bhwd", o,
                    p["proj"].reshape(c, c).astype(o.dtype))
-    x = x + o
+    return x + o
+
+
+def _tblock_gdfn_part(x, p, ln_type):
+    c = x.shape[-1]
     z = _ln(x, p["norm2_w"], p.get("norm2_b"), ln_type)
     h2 = p["gd_in"].shape[-1]
     g = gdfn_ref(z, p["gd_in"].reshape(c, h2),
                  p["gd_dw"].reshape(3, 3, h2),
                  p["gd_out"].reshape(h2 // 2, c))
     return x + g
+
+
+def tblock_ref(x, p, heads: int, ln_type: str = "WithBias"):
+    """Whole TransformerBlock, plain jnp.  p keys (natural module shapes):
+    norm1_w (C,), norm1_b (C,), qkv (1,1,C,3C), qkv_dw (3,3,1,3C),
+    temperature (heads,1,1), proj (1,1,C,C), norm2_w, norm2_b,
+    gd_in (1,1,C,2h), gd_dw (3,3,1,2h), gd_out (1,1,h,C)."""
+    x = _tblock_attn_part(x, p, heads, ln_type)
+    return _tblock_gdfn_part(x, p, ln_type)
+
+
+def _tblock_ref_remat(x, p, heads, ln_type):
+    """tblock_ref with each half under jax.checkpoint(nothing_saveable):
+    used by the fused kernels' custom_vjp backward, so that differentiating
+    the recompute only ever materializes ONE half's wide intermediates (the
+    3C qkv / 5.32C GDFN hidden tensors) at a time — these dominated the
+    training-step memory at full resolution (the b2@384 OOM's largest
+    buffers were exactly bf16[...510] and bf16[...288] recompute tensors)."""
+    nothing = jax.checkpoint_policies.nothing_saveable
+    x = jax.checkpoint(
+        functools.partial(_tblock_attn_part, heads=heads, ln_type=ln_type),
+        policy=nothing)(x, p)
+    return jax.checkpoint(
+        functools.partial(_tblock_gdfn_part, ln_type=ln_type),
+        policy=nothing)(x, p)
 
 
 # ---------------------------------------------------------------------------
@@ -628,8 +653,8 @@ def _fwd(x, p, heads, ln_type):
 
 def _bwd(heads, ln_type, res, g):
     x, p = res
-    _, vjp = jax.vjp(lambda xx, pp: tblock_ref(xx, pp, heads, ln_type),
-                     x, p)
+    _, vjp = jax.vjp(
+        lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type), x, p)
     return vjp(g)
 
 
@@ -796,8 +821,13 @@ def _chain_fwd(x, ps, heads, ln_type):
 
 def _chain_bwd(heads, ln_type, res, g):
     x, ps = res
-    _, vjp = jax.vjp(lambda xx, pp: _chain_ref(xx, pp, heads, ln_type),
-                     x, ps)
+
+    def chain_remat(xx, pp):
+        for p in pp:
+            xx = _tblock_ref_remat(xx, p, heads, ln_type)
+        return xx
+
+    _, vjp = jax.vjp(chain_remat, x, ps)
     return vjp(g)
 
 

@@ -63,24 +63,34 @@ def main():
             pred = pred[-1]
         return l1_loss(pred.astype(jnp.float32), gt)
 
+    # every chain feeds the iteration's scalar back into the inputs so the
+    # loop body is NOT loop-invariant (XLA hoists invariant bodies out of
+    # fori_loop and the per-iteration time reads ITERS-times too small)
     if "fwd" in parts:
         def fwd_chain(p, lq, ref, gt):
-            def body(_, acc):
-                return acc + loss(p, lq, ref, gt)
-            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+            def body(_, carry):
+                lq_i, acc = carry
+                l = loss(p, lq_i, ref, gt)
+                return (lq_i + (l * 1e-12).astype(lq_i.dtype), acc + l)
+            return jax.lax.fori_loop(0, ITERS, body, (lq, jnp.zeros(())))[1]
         t = timed(fwd_chain, params, lq, ref, gt)
-        print(json.dumps({"part": "fwd_loss", "ms": round(t * 1e3, 1)}))
+        print(json.dumps({"part": "fwd_loss", "ms": round(t * 1e3, 1)}),
+              flush=True)
 
     if "fwdbwd" in parts:
         def fb_chain(p, lq, ref, gt):
-            def body(_, acc):
-                l, g = jax.value_and_grad(loss)(p, lq, ref, gt)
-                return acc + l + jax.tree_util.tree_reduce(
+            def body(_, carry):
+                lq_i, acc = carry
+                l, g = jax.value_and_grad(loss)(p, lq_i, ref, gt)
+                gsum = jax.tree_util.tree_reduce(
                     lambda a, b: a + jnp.sum(jnp.abs(b)).astype(jnp.float32),
                     g, jnp.zeros(()))
-            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+                return (lq_i + (l * 1e-12).astype(lq_i.dtype),
+                        acc + l + gsum)
+            return jax.lax.fori_loop(0, ITERS, body, (lq, jnp.zeros(())))[1]
         t = timed(fb_chain, params, lq, ref, gt)
-        print(json.dumps({"part": "fwd_bwd", "ms": round(t * 1e3, 1)}))
+        print(json.dumps({"part": "fwd_bwd", "ms": round(t * 1e3, 1)}),
+              flush=True)
 
     if "masa" in parts:
         from textualdegremoval_tpu.models.layers import (
@@ -99,14 +109,18 @@ def main():
                        for w in warp)
 
         def masa_chain(ep, lq, ref):
-            def body(_, acc):
-                l, g = jax.value_and_grad(masa_loss)(ep, lq, ref)
-                return acc + l + jax.tree_util.tree_reduce(
+            def body(_, carry):
+                lq_i, acc = carry
+                l, g = jax.value_and_grad(masa_loss)(ep, lq_i, ref)
+                gsum = jax.tree_util.tree_reduce(
                     lambda a, b: a + jnp.sum(jnp.abs(b)).astype(jnp.float32),
                     g, jnp.zeros(()))
-            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+                return (lq_i + (l * 1e-12).astype(lq_i.dtype),
+                        acc + l + gsum)
+            return jax.lax.fori_loop(0, ITERS, body, (lq, jnp.zeros(())))[1]
         t = timed(masa_chain, eparams, lq, ref)
-        print(json.dumps({"part": "masa_fwd_bwd", "ms": round(t * 1e3, 1)}))
+        print(json.dumps({"part": "masa_fwd_bwd", "ms": round(t * 1e3, 1)}),
+              flush=True)
 
 
 if __name__ == "__main__":
