@@ -201,3 +201,36 @@ class TestTLC:
         got = local_avg_pool(jnp.asarray(x), (8, 8))
         want = x.mean(axis=(1, 2), keepdims=True)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+class TestDWConvGradShift:
+    """dwconv_grad_shift: conv-emitter forward, shift-form custom_vjp —
+    forward bitwise-equal to lax.conv, gradients equal to autodiff of the
+    conv (both accumulate f32)."""
+
+    @pytest.mark.parametrize("ks", [3, 5])
+    def test_forward_and_grads_match_autodiff(self, ks):
+        import jax
+        from textualdegremoval_tpu.ops.dwconv import (
+            dwconv_grad_shift, _conv_dw)
+
+        rng = np.random.default_rng(2)
+        c = 10
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((ks, ks, 1, c)), jnp.float32)
+
+        np.testing.assert_array_equal(
+            np.asarray(dwconv_grad_shift(x, k)), np.asarray(_conv_dw(x, k)))
+
+        def loss_ours(x, k):
+            return jnp.sum(jnp.sin(dwconv_grad_shift(x, k)))
+
+        def loss_conv(x, k):
+            return jnp.sum(jnp.sin(_conv_dw(x, k)))
+
+        gx0, gk0 = jax.grad(loss_conv, argnums=(0, 1))(x, k)
+        gx1, gk1 = jax.grad(loss_ours, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0),
+                                   rtol=1e-5, atol=1e-5)

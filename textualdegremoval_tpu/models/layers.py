@@ -84,11 +84,11 @@ class DWConv(nn.Module):
             from textualdegremoval_tpu.ops.dwconv import dwconv_shift
 
             return dwconv_shift(x.astype(self.dtype), kernel, bias)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
-            ((k // 2, k // 2), (k // 2, k // 2)),
-            feature_group_count=self.features,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # conv-emitter forward, shift-form custom_vjp backward (4x-faster
+        # filter grads — ops/dwconv.py, BENCH_NOTES.md round 3)
+        from textualdegremoval_tpu.ops.dwconv import dwconv_grad_shift
+
+        y = dwconv_grad_shift(x.astype(self.dtype), kernel)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

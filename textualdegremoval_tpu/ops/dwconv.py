@@ -28,6 +28,7 @@ model zoo).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -61,3 +62,62 @@ def dwconv_shift(x: jnp.ndarray, kernel: jnp.ndarray,
 
 # back-compat alias
 dwconv3x3_shift = dwconv_shift
+
+
+def _conv_dw(x, kernel):
+    """lax depthwise conv, SAME zero padding, HWIO (K, K, 1, C) kernel."""
+    import jax.lax as lax
+
+    c = x.shape[-1]
+    return lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1),
+        ((kernel.shape[0] // 2,) * 2, (kernel.shape[1] // 2,) * 2),
+        feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def dwconv_grad_shift(x, kernel):
+    """Depthwise KxK conv: conv-emitter FORWARD, shift-form BACKWARD.
+
+    XLA's depthwise backward lowers the filter gradient through a conv
+    emitter that measures ~4x slower than 9 shifted multiply-reduces
+    (BENCH_NOTES.md round 3: 2.5 ms vs 0.6 ms per 384px/288ch instance on
+    v5e).  dx is the transposed stencil (flipped taps over the padded
+    output gradient); dk[i,j,c] = sum_p shifted(x)[p,c] * g[p,c].  Both
+    accumulate in f32, matching the emitter's accumulator.
+
+    x: (N, H, W, C); kernel: (K, K, 1, C) HWIO.  Returns x.dtype.
+    """
+    return _conv_dw(x, kernel)
+
+
+def _dwgs_fwd(x, kernel):
+    return _conv_dw(x, kernel), (x, kernel)
+
+
+def _dwgs_bwd(res, g):
+    x, kernel = res
+    ks = kernel.shape[0]
+    p = ks // 2
+    h, w = x.shape[1], x.shape[2]
+    kf = kernel[:, :, 0, :].astype(jnp.float32)
+    gp = jnp.pad(g, ((0, 0), (p, p), (p, p), (0, 0)))
+    dx = None
+    for i in range(ks):
+        for j in range(ks):
+            t = gp[:, i : i + h, j : j + w, :].astype(jnp.float32) \
+                * kf[ks - 1 - i, ks - 1 - j]
+            dx = t if dx is None else dx + t
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    gf = g.astype(jnp.float32)
+    dk = jnp.stack([
+        jnp.stack([
+            jnp.sum(xp[:, i : i + h, j : j + w, :].astype(jnp.float32) * gf,
+                    axis=(0, 1, 2))
+            for j in range(ks)], 0)
+        for i in range(ks)], 0)[:, :, None, :]
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+dwconv_grad_shift.defvjp(_dwgs_fwd, _dwgs_bwd)

@@ -44,12 +44,10 @@ def gdfn_ref(x, w1, dwk, w2):
     path).  x: (B, H, W, C); w1: (C, 2h); dwk: (3, 3, 2h); w2: (h, C)."""
     h2 = w1.shape[1]
     hidden = h2 // 2
+    from textualdegremoval_tpu.ops.dwconv import dwconv_grad_shift
+
     y = jnp.einsum("bhwc,cd->bhwd", x, w1.astype(x.dtype))
-    y = jax.lax.conv_general_dilated(
-        y, dwk.astype(x.dtype)[:, :, None, :],
-        window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=h2)
+    y = dwconv_grad_shift(y, dwk[:, :, None, :])
     x1, x2 = y[..., :hidden], y[..., hidden:]
     g = jax.nn.gelu(x1, approximate=False) * x2
     return jnp.einsum("bhwg,gc->bhwc", g, w2.astype(x.dtype))

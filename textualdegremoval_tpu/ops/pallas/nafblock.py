@@ -64,12 +64,11 @@ def _lin(v, w, b, cin, cout):
 def _nafblock_conv_part(x, p):
     c = x.shape[-1]
     dt = x.dtype
+    from textualdegremoval_tpu.ops.dwconv import dwconv_grad_shift
+
     y = layer_norm_2d(x, p["norm1_w"], p["norm1_b"])
     h = _lin(y, p["w1"], p["b1"], c, 2 * c)
-    h = jax.lax.conv_general_dilated(
-        h, p["dw"].astype(dt), (1, 1), ((1, 1), (1, 1)),
-        feature_group_count=2 * c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = dwconv_grad_shift(h, p["dw"])
     h = h + p["dwb"].astype(dt)
     g = h[..., :c] * h[..., c:]
     pooled = jnp.mean(g, axis=(1, 2), keepdims=True)

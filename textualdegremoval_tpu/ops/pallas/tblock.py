@@ -70,12 +70,11 @@ def _ln(x, w, b, ln_type):
 
 
 def _dw3x3_nhwc(x, k):
-    """Depthwise 3x3, k: (3, 3, 1, C) HWIO."""
-    c = x.shape[-1]
-    return jax.lax.conv_general_dilated(
-        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-        feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    """Depthwise 3x3, k: (3, 3, 1, C) HWIO.  conv-emitter forward,
+    shift-form backward (4x-faster filter grad, ops/dwconv.py)."""
+    from textualdegremoval_tpu.ops.dwconv import dwconv_grad_shift
+
+    return dwconv_grad_shift(x, k)
 
 
 def _tblock_attn_part(x, p, heads, ln_type):
@@ -142,26 +141,24 @@ def _ln_rows(xf, w, b, ln_type):
     return (xf - mu) / jnp.sqrt(var + _EPS) * w + b
 
 
-def _shift_x(rows, dx, t, w, ch):
-    if dx == 0:
-        return jnp.concatenate(
-            [jnp.zeros((t, 1, ch), rows.dtype), rows[:, : w - 1]], axis=1)
-    if dx == 2:
-        return jnp.concatenate(
-            [rows[:, 1:], jnp.zeros((t, 1, ch), rows.dtype)], axis=1)
-    return rows
-
-
 def _dw3x3_rows(hid, wref, row0, t, w, ch, csl):
     """9-shift depthwise 3x3 over (t+2, W, ch) -> (t, W, ch), f32 accum.
-    wref rows row0+j hold tap j of this channel slice."""
+    wref rows row0+j hold tap j of this channel slice.
+
+    The two x-shifts are hoisted to the full input tile (2 shifted copies
+    total) instead of shifting each of the 9 (dy, dx) row-slices (6
+    copies) — row-slice-then-shift == shift-then-row-slice, and the adds
+    run in the same (dy, dx) order, so outputs are bit-identical."""
+    n_rows = hid.shape[0]
+    z = jnp.zeros((n_rows, 1, ch), hid.dtype)
+    hs = (jnp.concatenate([z, hid[:, : w - 1]], axis=1),
+          hid,
+          jnp.concatenate([hid[:, 1:], z], axis=1))
     out = jnp.zeros((t, w, ch), jnp.float32)
     for dy in range(3):
-        rows = hid[dy:dy + t]
         for dx in range(3):
-            shifted = _shift_x(rows, dx, t, w, ch)
             tap = wref[row0 + dy * 3 + dx: row0 + dy * 3 + dx + 1, csl]
-            out = out + shifted * tap[None]
+            out = out + hs[dx][dy:dy + t] * tap[None]
     return out
 
 
@@ -220,12 +217,16 @@ def _make_stats_kernel(t, w, c, ln_type):
 # ---------------------------------------------------------------------------
 
 
-def _make_apply_kernel(t, w, c, hpad, ch, ln_type):
+def _make_apply_kernel(t, w, c, hpad, ch, ln_type, want_x1=False):
     nchunk = hpad // ch
 
     def kernel(xp2_ref, xp1_ref, xc_ref, xn1_ref, xn2_ref, ln1w_ref,
                ln1b_ref, wv_ref, dwv_ref, at_ref, wproj_ref, ln2w_ref,
-               ln2b_ref, w1_ref, dwg_ref, w2_ref, out_ref, xh, x1, acc):
+               ln2b_ref, w1_ref, dwg_ref, w2_ref, out_ref, *rest):
+        if want_x1:
+            x1_out, xh, x1, acc = rest
+        else:
+            xh, x1, acc = rest
         i = pl.program_id(1)
         n = pl.num_programs(1)
         xh[:] = jnp.concatenate(
@@ -299,6 +300,8 @@ def _make_apply_kernel(t, w, c, hpad, ch, ln_type):
 
         out_ref[0] = (x1[1:t + 1] + acc[:].astype(xh.dtype)).astype(
             out_ref.dtype)
+        if want_x1:
+            x1_out[0] = x1[1:t + 1].astype(x1_out.dtype)
 
     return kernel
 
@@ -534,7 +537,7 @@ def _attn_matrix(gram, qssq, kssq, temperature, heads, dtype):
     return a.astype(dtype)
 
 
-def _tblock_impl(x, p, heads, ln_type, interpret=None):
+def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
     if interpret is None:
         interpret = _INTERPRET
     b, hgt, wdt, c = x.shape
@@ -546,6 +549,9 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None):
     # t >= 2 keeps the out-of-image row masks exact (at t == 1 the 2-row
     # halo of pass B spans two tiles at the bottom edge)
     if t < 2 or hgt % t or wdt > 2048:
+        if want_x1:
+            x1 = _tblock_attn_part(x, p, heads, ln_type)
+            return _tblock_gdfn_part(x1, p, ln_type), x1
         return tblock_ref(x, p, heads, ln_type)
     n_tiles = hgt // t
     f32 = jnp.float32
@@ -621,15 +627,17 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None):
                       x.dtype).transpose(0, 2, 1)
 
     return pl.pallas_call(
-        _make_apply_kernel(t, wdt, c, hpad, ch, ln_type),
+        _make_apply_kernel(t, wdt, c, hpad, ch, ln_type, want_x1),
         grid=(b, n_tiles),
         in_specs=[row(-2), row(-1), body, row(t), row(t + 1),
                   wspec, wspec, wspec, wspec,
                   pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
                   wspec, wspec, wspec, wspec, wspec, wspec],
-        out_specs=body,
-        out_shape=jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype),
+        out_specs=[body, body] if want_x1 else body,
+        out_shape=(
+            [jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype)] * 2
+            if want_x1 else jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype)),
         scratch_shapes=[
             pltpu.VMEM((t + 4, wdt, c), x.dtype),
             pltpu.VMEM((t + 2, wdt, c), x.dtype),
@@ -648,14 +656,24 @@ def tblock_fused(x, p, heads: int, ln_type: str = "WithBias"):
 
 
 def _fwd(x, p, heads, ln_type):
-    return _tblock_impl(x, p, heads, ln_type), (x, p)
+    # save the attn-residual boundary x1 (one extra C-wide write in the
+    # kernel) so the backward differentiates the two halves independently
+    # at their saved inputs — no whole-block recompute, and only one
+    # half's wide intermediates are live at a time
+    out, x1 = _tblock_impl(x, p, heads, ln_type, want_x1=True)
+    return out, (x, p, x1)
 
 
 def _bwd(heads, ln_type, res, g):
-    x, p = res
-    _, vjp = jax.vjp(
-        lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type), x, p)
-    return vjp(g)
+    x, p, x1 = res
+    _, vjp_g = jax.vjp(
+        lambda xx, pp: _tblock_gdfn_part(xx, pp, ln_type), x1, p)
+    dx1, dp_g = vjp_g(g)
+    _, vjp_a = jax.vjp(
+        lambda xx, pp: _tblock_attn_part(xx, pp, heads, ln_type), x, p)
+    dx, dp_a = vjp_a(dx1)
+    dp = jax.tree_util.tree_map(jnp.add, dp_g, dp_a)
+    return dx, dp
 
 
 tblock_fused.defvjp(_fwd, _bwd)

@@ -44,7 +44,7 @@ def main():
     from textualdegremoval_tpu.losses import l1_loss
 
     parts = [a for a in sys.argv[1:] if not a.startswith("-")] or [
-        "fwd", "fwdbwd", "masa"]
+        "fwd", "fwdbwd", "masa", "masa_enc"]
 
     model = RestormerRefFusion(
         dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
@@ -121,6 +121,33 @@ def main():
         t = timed(masa_chain, eparams, lq, ref)
         print(json.dumps({"part": "masa_fwd_bwd", "ms": round(t * 1e3, 1)}),
               flush=True)
+
+    if "masa_enc" in parts:
+        from textualdegremoval_tpu.models.layers import (
+            MASAEncoder, masa_encode_pair)
+
+        enc2 = MASAEncoder(48, (4, 4, 4, 4), 4, jnp.bfloat16)
+        eparams2 = jax.jit(enc2.init)(key, lq)
+
+        def enc_loss(ep, lq, ref):
+            feat_lq, feat_ref = masa_encode_pair(
+                lambda x: enc2.apply(ep, x), lq, ref)
+            return sum(jnp.sum(jnp.abs(f.astype(jnp.float32)))
+                       for f in feat_lq + feat_ref)
+
+        def enc_chain(ep, lq, ref):
+            def body(_, carry):
+                lq_i, acc = carry
+                l, g = jax.value_and_grad(enc_loss)(ep, lq_i, ref)
+                gsum = jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(jnp.abs(b)).astype(jnp.float32),
+                    g, jnp.zeros(()))
+                return (lq_i + (l * 1e-12).astype(lq_i.dtype),
+                        acc + l + gsum)
+            return jax.lax.fori_loop(0, ITERS, body, (lq, jnp.zeros(())))[1]
+        t = timed(enc_chain, eparams2, lq, ref)
+        print(json.dumps({"part": "masa_enc_fwd_bwd",
+                          "ms": round(t * 1e3, 1)}), flush=True)
 
 
 if __name__ == "__main__":
