@@ -656,16 +656,25 @@ def tblock_fused(x, p, heads: int, ln_type: str = "WithBias"):
 
 
 def _fwd(x, p, heads, ln_type):
-    # save the attn-residual boundary x1 (one extra C-wide write in the
-    # kernel) so the backward differentiates the two halves independently
-    # at their saved inputs — no whole-block recompute, and only one
-    # half's wide intermediates are live at a time
+    # Default: save the attn-residual boundary x1 (one extra C-wide write
+    # in the kernel) so the backward differentiates the two halves
+    # independently at their saved inputs — no whole-block recompute
+    # (666.5 -> 519.8 ms/step at 384px b1).  TDR_TBLOCK_BWD=remat trades
+    # that speed for memory: save only (x, p) and recompute through the
+    # two-part checkpoint (enables larger per-chip batches).
+    import os
+    if os.environ.get("TDR_TBLOCK_BWD") == "remat":
+        return _tblock_impl(x, p, heads, ln_type), (x, p, None)
     out, x1 = _tblock_impl(x, p, heads, ln_type, want_x1=True)
     return out, (x, p, x1)
 
 
 def _bwd(heads, ln_type, res, g):
     x, p, x1 = res
+    if x1 is None:
+        _, vjp = jax.vjp(
+            lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type), x, p)
+        return vjp(g)
     _, vjp_g = jax.vjp(
         lambda xx, pp: _tblock_gdfn_part(xx, pp, ln_type), x1, p)
     dx1, dp_g = vjp_g(g)

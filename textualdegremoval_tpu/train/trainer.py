@@ -140,6 +140,11 @@ def make_train_step(
     and eval paths stay structurally identical either way.
     """
     if remat:
+        # also flip the fused block kernels to their memory-lean backward
+        # (recompute through the two-part checkpoint instead of saving the
+        # attn boundary — ops/pallas/tblock.py); read at trace time
+        import os
+        os.environ["TDR_TBLOCK_BWD"] = "remat"
         apply_fn = jax.checkpoint(
             apply_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
