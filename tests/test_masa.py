@@ -116,3 +116,41 @@ class TestMASAFull:
             np.testing.assert_allclose(
                 np.asarray(got_l), want_l.numpy().transpose(0, 2, 3, 1), atol=2e-4
             )
+
+
+class TestTransferGrads:
+    """masa_transfer's custom_vjp (gather forward, one-hot-derived
+    backward) must match autodiff of the plain take_along_axis
+    formulation exactly."""
+
+    def test_grads_match_gather_autodiff(self):
+        import jax
+        from textualdegremoval_tpu.ops.masa import (
+            masa_transfer, _transfer_gather)
+
+        rng = np.random.default_rng(3)
+        nb, d2y, d2x, s, c, psize = 3, 6, 7, 2, 4, 3
+        ky, kx = 4, 5
+        rw = jnp.asarray(rng.standard_normal(
+            (nb, d2y * s, d2x * s, c)), jnp.float32)
+        att = jnp.asarray(rng.standard_normal((nb, ky, kx)), jnp.float32)
+        ry, rx = d2y - psize + 1, d2x - psize + 1
+        idx = jnp.asarray(rng.integers(0, ry * rx, (nb, ky, kx)), jnp.int32)
+
+        def loss_ours(rw, att):
+            return jnp.sum(jnp.sin(masa_transfer(rw, idx, att, psize, s)))
+
+        def loss_plain(rw, att):
+            return jnp.sum(jnp.sin(
+                _transfer_gather(rw, att, idx, psize, s)))
+
+        # forwards identical
+        np.testing.assert_array_equal(
+            np.asarray(masa_transfer(rw, idx, att, psize, s)),
+            np.asarray(_transfer_gather(rw, att, idx, psize, s)))
+        g0 = jax.grad(loss_plain, argnums=(0, 1))(rw, att)
+        g1 = jax.grad(loss_ours, argnums=(0, 1))(rw, att)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                                   rtol=1e-5, atol=1e-6)

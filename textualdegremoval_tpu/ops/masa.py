@@ -35,6 +35,9 @@ TPU-first implementation decisions (vs. the CUDA/torch original):
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -274,6 +277,52 @@ def unfold_strided(x: jnp.ndarray, psize: int, scale: int) -> jnp.ndarray:
     return arr.reshape(n, ry, rx, c * k * k)
 
 
+def _transfer_tiles(ref_window, nb, d2y, d2x, s, c):
+    tiles = ref_window.reshape(nb, d2y, s, d2x, s, c)
+    return tiles.transpose(0, 1, 3, 2, 4, 5).reshape(
+        nb, d2y * d2x, s * s * c)
+
+
+def _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
+                   select_fn):
+    """Shared fold/divisor/attention math of masa_transfer; patch selection
+    via select_fn(tiles, g) -> (NB, ky, kx, s*s*C)."""
+    nb, ky, kx = index.shape
+    s = scale
+    rx = d2x - psize + 1
+    half = psize // 2
+    dt = tiles.dtype
+
+    iy = index // rx
+    ix = index % rx
+    acc_dt = jnp.float32 if dt == jnp.float32 else dt
+    out = jnp.zeros((nb, ky, kx, s * s * c), acc_dt)
+    cnt = jnp.zeros((1, ky, kx, 1), jnp.float32)
+    for a in range(psize):
+        oy = a - half
+        for b in range(psize):
+            ox = b - half
+            ly0, ly1 = max(0, oy), min(ky, ky + oy)
+            lx0, lx1 = max(0, ox), min(kx, kx + ox)
+            iy_sh = jnp.roll(iy, (oy, ox), axis=(1, 2))
+            ix_sh = jnp.roll(ix, (oy, ox), axis=(1, 2))
+            g = (iy_sh + a) * d2x + (ix_sh + b)  # (NB, ky, kx)
+            sel = select_fn(tiles, g)
+            valid = jnp.zeros((1, ky, kx, 1), jnp.float32)
+            valid = valid.at[:, ly0:ly1, lx0:lx1].set(1.0)
+            out = out + sel.astype(acc_dt) * valid.astype(acc_dt)
+            cnt = cnt + valid
+    out = (out.astype(jnp.float32) / cnt).astype(acc_dt)
+    out = out.reshape(nb, ky, kx, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(nb, ky * s, kx * s, c)
+    att = jax.image.resize(
+        soft_att[..., None].astype(jnp.float32),
+        (nb, ky * s, kx * s, 1),
+        method="bilinear",
+    ).astype(acc_dt)
+    return (out * att).astype(dt)
+
+
 def masa_transfer(
     ref_window: jnp.ndarray,
     index: jnp.ndarray,
@@ -308,60 +357,77 @@ def masa_transfer(
     Returns:
       (NB, ky*scale, kx*scale, C_s).
     """
-    nb, ky, kx = index.shape
+    return _masa_transfer_vjp(ref_window, soft_att, index, psize, scale)
+
+
+def _transfer_gather(ref_window, soft_att, index, psize, scale):
+    """Forward: psize^2 row-gathers of aligned tiles (traffic-optimal).
+
+    Accumulation dtype note: the sum is of <= psize^2 O(1) values divided
+    by an exact small-int count, so bf16 accumulation is safe and halves
+    the HBM traffic of the gather+add chains (f32 kept under f32 inputs so
+    CPU parity tests are bit-identical)."""
+    nb = ref_window.shape[0]
     s = scale
     hs, ws = ref_window.shape[1], ref_window.shape[2]
     c = ref_window.shape[-1]
     d2y, d2x = hs // s, ws // s
-    ry, rx = d2y - psize + 1, d2x - psize + 1
-    half = psize // 2
-    dt = ref_window.dtype
+    tiles = _transfer_tiles(ref_window, nb, d2y, d2x, s, c)
 
-    # window as (NB, d2y*d2x, s*s*C) aligned tiles
-    tiles = ref_window.reshape(nb, d2y, s, d2x, s, c)
-    tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(nb, d2y * d2x, s * s * c)
+    def select(tiles, g):
+        ky, kx = g.shape[1], g.shape[2]
+        return jnp.take_along_axis(
+            tiles, g.reshape(nb, ky * kx, 1), axis=1
+        ).reshape(nb, ky, kx, s * s * c)
 
-    iy = index // rx  # (NB, ky, kx) patch-grid coords
-    ix = index % rx
+    return _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
+                          select)
 
-    # Accumulate in the input dtype when it is a low-precision type: the sum
-    # is of <= psize^2 O(1) values divided by an exact small-int count, so
-    # bf16 accumulation is safe — and it halves the HBM traffic of the 9
-    # gather+add chains, which are the largest MASA instructions at 512 px
-    # (f32 kept under f32 inputs so CPU parity tests are bit-identical).
-    acc_dt = jnp.float32 if dt == jnp.float32 else dt
-    out = jnp.zeros((nb, ky, kx, s * s * c), acc_dt)
-    cnt = jnp.zeros((1, ky, kx, 1), jnp.float32)
-    for a in range(psize):
-        # neighbor cell l = m + half - a; shift index maps by (a - half)
-        oy = a - half
-        for b in range(psize):
-            ox = b - half
-            # output cell m draws from patch cell l = m - oy; valid when
-            # l in [0, ky) -> m in [max(0, oy), min(ky, ky + oy))
-            ly0, ly1 = max(0, oy), min(ky, ky + oy)
-            lx0, lx1 = max(0, ox), min(kx, kx + ox)
-            # gather row ids for the valid region, clamped elsewhere
-            iy_sh = jnp.roll(iy, (oy, ox), axis=(1, 2))
-            ix_sh = jnp.roll(ix, (oy, ox), axis=(1, 2))
-            g = (iy_sh + a) * d2x + (ix_sh + b)  # (NB, ky, kx)
-            sel = jnp.take_along_axis(
-                tiles, g.reshape(nb, ky * kx, 1), axis=1
-            ).reshape(nb, ky, kx, s * s * c)
-            valid = jnp.zeros((1, ky, kx, 1), jnp.float32)
-            valid = valid.at[:, ly0:ly1, lx0:lx1].set(1.0)
-            out = out + sel.astype(acc_dt) * valid.astype(acc_dt)
-            cnt = cnt + valid
-    out = (out.astype(jnp.float32) / cnt).astype(acc_dt)
-    # (NB, ky, kx, s, s, C) -> (NB, ky*s, kx*s, C)
-    out = out.reshape(nb, ky, kx, s, s, c).transpose(0, 1, 3, 2, 4, 5)
-    out = out.reshape(nb, ky * s, kx * s, c)
-    att = jax.image.resize(
-        soft_att[..., None].astype(jnp.float32),
-        (nb, ky * s, kx * s, 1),
-        method="bilinear",
-    ).astype(acc_dt)
-    return (out * att).astype(dt)
+
+def _transfer_onehot(ref_window, soft_att, index, psize, scale):
+    """Same math with selection as a one-hot einsum: its autodiff backward
+    is psize^2 small MXU matmuls into the tile grid instead of the
+    scatter-adds XLA generates for take_along_axis (measurably slower on
+    TPU).  Used only to derive masa_transfer's backward."""
+    nb = ref_window.shape[0]
+    s = scale
+    hs, ws = ref_window.shape[1], ref_window.shape[2]
+    c = ref_window.shape[-1]
+    d2y, d2x = hs // s, ws // s
+    tiles = _transfer_tiles(ref_window, nb, d2y, d2x, s, c)
+    cells = jnp.arange(d2y * d2x, dtype=jnp.int32)
+
+    def select(tiles, g):
+        ky, kx = g.shape[1], g.shape[2]
+        onehot = (g.reshape(nb, ky * kx, 1) == cells).astype(tiles.dtype)
+        return jnp.einsum("nkp,npc->nkc", onehot, tiles).reshape(
+            nb, ky, kx, s * s * c)
+
+    return _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
+                          select)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _masa_transfer_vjp(ref_window, soft_att, index, psize, scale):
+    return _transfer_gather(ref_window, soft_att, index, psize, scale)
+
+
+def _mt_fwd(ref_window, soft_att, index, psize, scale):
+    out = _transfer_gather(ref_window, soft_att, index, psize, scale)
+    return out, (ref_window, soft_att, index)
+
+
+def _mt_bwd(psize, scale, res, g):
+    ref_window, soft_att, index = res
+    _, vjp = jax.vjp(
+        lambda rw, sa: _transfer_onehot(rw, sa, index, psize, scale),
+        ref_window, soft_att)
+    d_rw, d_sa = vjp(g)
+    d_idx = np.zeros(index.shape, jax.dtypes.float0)
+    return d_rw, d_sa, d_idx
+
+
+_masa_transfer_vjp.defvjp(_mt_fwd, _mt_bwd)
 
 
 # ---------------------------------------------------------------------------
