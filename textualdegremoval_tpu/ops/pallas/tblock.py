@@ -669,15 +669,44 @@ def _fwd(x, p, heads, ln_type):
     return out, (x, p, x1)
 
 
+def _gdfn_bwd_kernel_applies(x, p):
+    """Use the streaming gdfn-half backward kernel when it fits: the
+    weight-grad accumulators (c x 2*hpad f32, twice) live in VMEM for the
+    whole grid, so the deep levels (c >= 384) fall back to jax.vjp."""
+    import os
+    if os.environ.get("TDR_GDFN_BWD", "1") not in ("1", "true", "on"):
+        return 0
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return 0
+    b, hgt, wdt, c = x.shape
+    hidden = p["gd_in"].shape[-1] // 2
+    from textualdegremoval_tpu.ops.pallas.gdfn import _round_up
+    hpad = _round_up(hidden, 128)
+    if c * hpad > 192 * 512 or wdt > 2048:
+        return 0
+    t = _pick_tile(wdt, c)
+    while t > 1 and hgt % t:
+        t //= 2
+    return t if (t >= 2 and hgt % t == 0) else 0
+
+
 def _bwd(heads, ln_type, res, g):
     x, p, x1 = res
     if x1 is None:
         _, vjp = jax.vjp(
             lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type), x, p)
         return vjp(g)
-    _, vjp_g = jax.vjp(
-        lambda xx, pp: _tblock_gdfn_part(xx, pp, ln_type), x1, p)
-    dx1, dp_g = vjp_g(g)
+    t = _gdfn_bwd_kernel_applies(x, p)
+    if t:
+        from textualdegremoval_tpu.ops.pallas.tblock_bwd import (
+            gdfn_half_bwd)
+
+        dx1, gd = gdfn_half_bwd(x1, g, p, ln_type, t)
+        dp_g = {k: gd.get(k, jnp.zeros_like(v)) for k, v in p.items()}
+    else:
+        _, vjp_g = jax.vjp(
+            lambda xx, pp: _tblock_gdfn_part(xx, pp, ln_type), x1, p)
+        dx1, dp_g = vjp_g(g)
     _, vjp_a = jax.vjp(
         lambda xx, pp: _tblock_attn_part(xx, pp, heads, ln_type), x, p)
     dx, dp_a = vjp_a(dx1)
