@@ -687,6 +687,21 @@ def _gdfn_bwd_kernel_applies(x, p):
     t = _pick_tile(wdt, c)
     while t > 1 and hgt % t:
         t //= 2
+
+    # stack estimate calibrated against the compiler's 16.56 MB at
+    # (w=384, c=96->128 lanes, t=4): f32 LN/stencil temporaries dominate
+    ce = -(-c // 128) * 128
+
+    def _vmem(tt):
+        stack = wdt * ce * ((tt + 4) * 8 + (tt + 2) * 20 + tt * 8)
+        io = (2 * tt + 6) * wdt * ce * 2 * 2
+        accs = 2 * (c * 2 * hpad * 4) + hpad * c * 4
+        return 1.25 * (stack + io + accs)
+
+    while t > 2 and (_vmem(t) > 15 * 1024 * 1024 or hgt % t):
+        t //= 2
+    if _vmem(t) > 15 * 1024 * 1024:
+        return 0
     return t if (t >= 2 and hgt % t == 0) else 0
 
 
