@@ -224,9 +224,9 @@ def _make_apply_kernel(t, w, c, hpad, ch, ln_type, want_x1=False):
                ln1b_ref, wv_ref, dwv_ref, at_ref, wproj_ref, ln2w_ref,
                ln2b_ref, w1_ref, dwg_ref, w2_ref, out_ref, *rest):
         if want_x1:
-            x1_out, xh, acc = rest
+            x1_out, xh, x1, acc = rest
         else:
-            xh, acc = rest
+            xh, x1, acc = rest
         i = pl.program_id(1)
         n = pl.num_programs(1)
         xh[:] = jnp.concatenate(
