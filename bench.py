@@ -23,10 +23,10 @@ import sys
 import time
 
 # The fused whole-TransformerBlock kernel is the measured-fastest
-# configuration (BENCH_NOTES.md round 3: 152.5 -> 125.3 ms/image); the
-# flag is read at trace time, so setting it here covers the driver's
-# plain `python bench.py` invocation.  TDR_FUSED_TBLOCK=0 to compare.
-os.environ.setdefault("TDR_FUSED_TBLOCK", "1")
+# configuration (BENCH_NOTES.md round 3: 152.5 -> 125.3 ms/image);
+# selection is an explicit constructor arg below.  TDR_FUSED_TBLOCK=0
+# here (entry-level override) to compare against the XLA op path.
+FUSED = os.environ.get("TDR_FUSED_TBLOCK", "1") in ("1", "true", "on")
 # Local AOT TPU compiles fail on this rig (libtpu build mismatch between
 # the client wheel and the relay terminal); the relay-side compiler is the
 # only working path, so pin it even if the launcher stripped the base env.
@@ -55,7 +55,7 @@ def main():
         dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
         heads=(1, 2, 4, 8), nf=48, ext_n_blocks=(4, 4, 4, 4),
         reffusion_n_blocks=(2, 2, 2, 2), lr_block_size=8,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, fused=FUSED,
     )
     key = jax.random.PRNGKey(0)
     lq = jax.random.normal(key, (BATCH, SIZE, SIZE, 3), jnp.float32)

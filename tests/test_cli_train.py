@@ -7,6 +7,7 @@ import os
 import numpy as np
 import cv2
 import yaml
+import jax
 import pytest
 
 pytestmark = pytest.mark.slow  # end-to-end/full-net: minutes on CPU
@@ -88,6 +89,26 @@ class TestTrainCLI:
         state = main(["--opt", cfg, "--max_iters", "6"])
         # resumed from 4, ran to 6
         assert int(state.step) == 6
+
+    def test_bf16_remat_flags_end_to_end(self, workspace, monkeypatch,
+                                         tmp_path):
+        # the measured-feasible 384px protocol path (bf16 + remat) runs
+        # from the product CLI (fresh experiment name so no auto-resume)
+        root, cfg = workspace
+        monkeypatch.chdir(root)
+        import yaml as _yaml
+        opt = _yaml.safe_load(open(cfg))
+        opt["name"] = "smoke_bf16_remat"
+        cfg2 = tmp_path / "opt_bf16.yml"
+        cfg2.write_text(_yaml.dump(opt))
+        from textualdegremoval_tpu.cli.train_restoration import main
+
+        state = main(["--opt", str(cfg2), "--max_iters", "2",
+                      "--mixed_precision", "bf16", "--remat"])
+        assert int(state.step) == 2
+        import numpy as np
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float32)))
 
 
 class TestTrainCLINAFNet:

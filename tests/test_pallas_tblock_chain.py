@@ -83,25 +83,23 @@ class TestChainVsRef:
 
 
 class TestModelChainMode:
-    def test_restormer_chain_mode_matches_and_shares_params(self,
-                                                            monkeypatch):
-        # chain mode on a CPU backend routes through tblock_ref
-        # sequentially; outputs match the per-block module path and the
-        # param tree is identical (checkpoint interchange)
+    def test_restormer_chain_mode_matches_and_shares_params(self):
+        # chain mode (explicit chain=True constructor attribute) on a CPU
+        # backend routes through tblock_ref sequentially; outputs match
+        # the per-block module path and the param tree is identical
+        # (checkpoint interchange)
         import flax.core
         from textualdegremoval_tpu.models.restormer import Restormer
 
         kw = dict(dim=8, num_blocks=(2, 1, 1, 1), num_refinement_blocks=1,
                   heads=(1, 1, 2, 2))
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
-        monkeypatch.delenv("TDR_FUSED_TBLOCK_CHAIN", raising=False)
-        base = Restormer(**kw)
+        base = Restormer(**kw, chain=False)
         params = flax.core.unfreeze(
             base.init(jax.random.PRNGKey(1), x)["params"])
         want = base.apply({"params": params}, x)
 
-        monkeypatch.setenv("TDR_FUSED_TBLOCK_CHAIN", "1")
-        chained = Restormer(**kw)
+        chained = Restormer(**kw, chain=True)
         pc = chained.init(jax.random.PRNGKey(1), x)["params"]
         assert jax.tree_util.tree_structure(pc) == \
             jax.tree_util.tree_structure(params)

@@ -78,11 +78,49 @@ def crop_batch(batch, gt_size, mini_batch, rng):
     return out
 
 
+def resolve_network(opt, mixed_precision=None, remat=None, fused=None):
+    """Construct the network with precision / remat / fused-kernel flags
+    resolved as CLI override > YAML ``train:`` keys > defaults.
+
+    YAML surface (reference config 003's train: block extended):
+      train.mixed_precision: fp32|bf16   — compute dtype of the net
+      train.remat: true                  — jax.checkpoint the forward AND
+                                            the fused kernels' memory-lean
+                                            backward (bwd_mode='remat')
+      train.fused_kernels: auto|on|off   — whole-block Pallas kernels
+    (`network_g.fused` / `network_g.bwd_mode` in YAML also work directly —
+    define_network passes any constructor field through.)
+
+    Returns (model, remat, dtype)."""
+    topt = opt.get("train", {}) or {}
+    mp = mixed_precision or topt.get("mixed_precision", "fp32")
+    if remat is None:
+        remat = bool(topt.get("remat", False))
+    fused_cfg = fused if fused is not None else topt.get(
+        "fused_kernels", "auto")
+    dtype = jnp.bfloat16 if str(mp) == "bf16" else jnp.float32
+    net_opt = dict(opt["network_g"])
+    if isinstance(fused_cfg, bool):
+        net_opt.setdefault("fused", fused_cfg)
+    elif fused_cfg in ("on", "off"):
+        net_opt.setdefault("fused", fused_cfg == "on")
+    if remat:
+        net_opt.setdefault("bwd_mode", "remat")
+    return define_network(net_opt, dtype=dtype), remat, dtype
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--opt", required=True)
     ap.add_argument("--max_iters", type=int, default=None,
                     help="override total_iter (smoke runs)")
+    ap.add_argument("--mixed_precision", choices=["fp32", "bf16"],
+                    default=None, help="override train.mixed_precision")
+    ap.add_argument("--remat", action="store_true", default=None,
+                    help="rematerialized backward (override train.remat)")
+    ap.add_argument("--fused", choices=["auto", "on", "off"], default=None,
+                    help="whole-block Pallas kernels "
+                         "(override train.fused_kernels)")
     args = ap.parse_args(argv)
 
     # multi-host rendezvous (env/slurm), before any backend use; no-op for
@@ -120,8 +158,12 @@ def main(argv=None):
         except Exception as e:  # val data optional in smoke runs
             logger.warning(f"no val data: {e}")
 
-    # model
-    model = define_network(opt["network_g"], dtype=jnp.float32)
+    # model (precision / remat / fused kernels per resolve_network)
+    model, remat, net_dtype = resolve_network(
+        opt, mixed_precision=args.mixed_precision, remat=args.remat,
+        fused=args.fused)
+    logger.info(f"network dtype={net_dtype.__name__} remat={remat} "
+                f"fused={getattr(model, 'fused', None)}")
     key = jax.random.PRNGKey(opt.get("manual_seed", 0))
     gt_size = ds_opt.get("gt_size", 128)
     dummy = jnp.zeros((1, gt_size, gt_size,
@@ -177,7 +219,8 @@ def main(argv=None):
     )
     state = create_train_state(params, tx, ema_params=ema_params)
     loss_fn = build_loss(topt["pixel_opt"])
-    step_fn = make_train_step(model.apply, loss_fn, tx, ema_decay=ema_decay)
+    step_fn = make_train_step(model.apply, loss_fn, tx, ema_decay=ema_decay,
+                              remat=remat)
 
     # checkpointing / auto-resume (reference :137-186)
     ckpt = CheckpointManager(opt["path"]["training_states"])

@@ -9,6 +9,7 @@ Parity targets are cited per class (semantics re-derived, not translated).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -26,6 +27,24 @@ from textualdegremoval_tpu.ops import (
 )
 from textualdegremoval_tpu.ops.attention import mdta_attention_nhwc
 from textualdegremoval_tpu.ops.tlc import local_avg_pool
+
+
+def _env_on(name: str, default: str = "0") -> bool:
+    return os.environ.get(name, default) in ("1", "true", "on")
+
+
+# Process-wide DEFAULTS for the kernel-selection knobs, resolved ONCE at
+# import from the environment (the CLI-entry override surface).  Kernel
+# selection itself is an explicit module attribute (fused / bwd_mode /
+# chain / impl) so two models with different settings coexist in one
+# process and jit cache keys stay sound — library code never reads env at
+# trace time and never writes os.environ.
+_FUSED_TBLOCK_DEFAULT = _env_on("TDR_FUSED_TBLOCK")
+_FUSED_TBLOCK_CHAIN_DEFAULT = _env_on("TDR_FUSED_TBLOCK_CHAIN")
+_FUSED_GDFN_DEFAULT = _env_on("TDR_FUSED_GDFN")
+_FUSED_NAFBLOCK_DEFAULT = _env_on("TDR_FUSED_NAFBLOCK")
+_TBLOCK_BWD_DEFAULT = os.environ.get("TDR_TBLOCK_BWD", "save")
+_DWCONV_DEFAULT = os.environ.get("TDR_DWCONV", "conv")
 
 
 class ChannelLayerNorm(nn.Module):
@@ -66,14 +85,11 @@ class DWConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
-    impl: str | None = None  # 'shift' | 'conv' | None -> $TDR_DWCONV/'conv'
+    impl: str | None = None  # 'shift' | 'conv' | None -> import-time default
 
     @nn.compact
     def __call__(self, x):
-        impl = self.impl
-        if impl is None:
-            import os
-            impl = os.environ.get("TDR_DWCONV", "conv")
+        impl = self.impl if self.impl is not None else _DWCONV_DEFAULT
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, 1, self.features), jnp.float32)
@@ -220,10 +236,9 @@ class GDFN(nn.Module):
             # isolation and cuts model HBM traffic 126->102 GB, but
             # in-model it serializes VPU depthwise work that XLA overlaps
             # with neighboring ops — net -4% end to end.  Enable with
-            # TDR_FUSED_GDFN=1 (or fused=True) to re-evaluate on toolchains
-            # where pallas_call composes better.
-            import os
-            fused = os.environ.get("TDR_FUSED_GDFN") in ("1", "true", "on")
+            # fused=True (or TDR_FUSED_GDFN=1 before import) to re-evaluate
+            # on toolchains where pallas_call composes better.
+            fused = _FUSED_GDFN_DEFAULT
         if fused and not self.use_bias:
             from textualdegremoval_tpu.ops.pallas.gdfn import (
                 gdfn_fused, gdfn_ref)
@@ -325,26 +340,26 @@ class _TBlockParamBundle(nn.Module):
 
 def tblock_stage(x, dim, num_heads, n, name, *, ffn_expansion_factor=2.66,
                  use_bias=False, ln_type="WithBias", dtype=jnp.float32,
-                 fused=None):
+                 fused=None, bwd_mode=None, chain=None):
     """A sequence of n TransformerBlocks named ``{name}_{i}``.
 
-    In chain-fused mode (``$TDR_FUSED_TBLOCK_CHAIN``, or fused=True) the
-    whole stage runs as the cross-block-fused Pallas chain
+    In chain-fused mode (chain=True; default from $TDR_FUSED_TBLOCK_CHAIN
+    at import) the whole stage runs as the cross-block-fused Pallas chain
     (ops/pallas/tblock.py tblock_chain_fused): pass B of block i also
     accumulates block i+1's attention statistics, so each intermediate
-    activation crosses HBM once.  Parameter names/shapes are identical to
-    the per-block paths.  Must be called from a compact module context.
+    activation crosses HBM once.  Otherwise fused/bwd_mode select the
+    per-block kernel (TransformerBlock attributes).  Parameter names/shapes
+    are identical to all paths.  Must be called from a compact module
+    context.
     """
-    if fused is None:
-        import os
-        fused = os.environ.get("TDR_FUSED_TBLOCK_CHAIN") in (
-            "1", "true", "on")
-    if not fused or use_bias or n == 0:
+    if chain is None:
+        chain = _FUSED_TBLOCK_CHAIN_DEFAULT
+    if not chain or use_bias or n == 0:
         for i in range(n):
             x = TransformerBlock(
                 dim, num_heads, ffn_expansion_factor=ffn_expansion_factor,
                 use_bias=use_bias, ln_type=ln_type, dtype=dtype,
-                name=f"{name}_{i}")(x)
+                fused=fused, bwd_mode=bwd_mode, name=f"{name}_{i}")(x)
         return x
     from textualdegremoval_tpu.ops.pallas.tblock import (
         tblock_chain_fused, tblock_ref)
@@ -368,7 +383,9 @@ class TransformerBlock(nn.Module):
     +residuals) as the two-pass streaming Pallas kernel
     (ops/pallas/tblock.py).  Unlike the per-op kernels (which measurably
     lose to XLA overlap — BENCH_NOTES.md), the whole-block kernel leaves
-    nothing around it to overlap with.  Auto (None): $TDR_FUSED_TBLOCK.
+    nothing around it to overlap with.  Auto (None): the import-time
+    default (from $TDR_FUSED_TBLOCK).  bwd_mode ('save' | 'remat', see
+    ops/pallas/tblock.py tblock_fused) picks the fused kernel's backward.
     Parameter names/shapes are identical in both paths, so checkpoints are
     interchangeable."""
 
@@ -379,13 +396,14 @@ class TransformerBlock(nn.Module):
     ln_type: str = "WithBias"
     dtype: jnp.dtype = jnp.float32
     fused: bool | None = None
+    bwd_mode: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        fused = self.fused
-        if fused is None:
-            import os
-            fused = os.environ.get("TDR_FUSED_TBLOCK") in ("1", "true", "on")
+        fused = (self.fused if self.fused is not None
+                 else _FUSED_TBLOCK_DEFAULT)
+        bwd_mode = (self.bwd_mode if self.bwd_mode is not None
+                    else _TBLOCK_BWD_DEFAULT)
         if fused and not self.use_bias:
             from textualdegremoval_tpu.ops.pallas.tblock import (
                 tblock_fused, tblock_ref)
@@ -401,7 +419,8 @@ class TransformerBlock(nn.Module):
                 p["norm2_b"] = b2
             xd = x.astype(self.dtype)
             if jax.default_backend() == "tpu":
-                return tblock_fused(xd, p, self.num_heads, self.ln_type)
+                return tblock_fused(xd, p, self.num_heads, self.ln_type,
+                                    bwd_mode)
             return tblock_ref(xd, p, self.num_heads, self.ln_type)
         x = x + MDTAAttention(self.dim, self.num_heads, self.use_bias,
                               dtype=self.dtype, name="attn")(
@@ -426,13 +445,14 @@ class TransformerResFusionBlock(nn.Module):
     ln_type: str = "WithBias"
     dtype: jnp.dtype = jnp.float32
     fused: bool | None = None
+    bwd_mode: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        fused = self.fused
-        if fused is None:
-            import os
-            fused = os.environ.get("TDR_FUSED_TBLOCK") in ("1", "true", "on")
+        fused = (self.fused if self.fused is not None
+                 else _FUSED_TBLOCK_DEFAULT)
+        bwd_mode = (self.bwd_mode if self.bwd_mode is not None
+                    else _TBLOCK_BWD_DEFAULT)
         alpha = self.param("alpha", nn.initializers.zeros, (1,))
         shortcut = x
         if fused and not self.use_bias:
@@ -450,7 +470,8 @@ class TransformerResFusionBlock(nn.Module):
                 p["norm2_b"] = b2
             xd = x.astype(self.dtype)
             if jax.default_backend() == "tpu":
-                y = tblock_fused(xd, p, self.num_heads, self.ln_type)
+                y = tblock_fused(xd, p, self.num_heads, self.ln_type,
+                                 bwd_mode)
             else:
                 y = tblock_ref(xd, p, self.num_heads, self.ln_type)
             return y * alpha.astype(y.dtype) + shortcut.astype(y.dtype)
@@ -655,11 +676,8 @@ class NAFBlock(nn.Module):
     def __call__(self, inp):
         c = self.dim
         dw = c * self.dw_expand
-        fused = self.fused
-        if fused is None:
-            import os
-            fused = os.environ.get("TDR_FUSED_NAFBLOCK") in (
-                "1", "true", "on")
+        fused = (self.fused if self.fused is not None
+                 else _FUSED_NAFBLOCK_DEFAULT)
         if (fused and self.tlc_kernel is None and self.dw_expand == 2
                 and self.ffn_expand == 2):
             from textualdegremoval_tpu.ops.pallas.nafblock import (

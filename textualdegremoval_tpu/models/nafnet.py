@@ -42,6 +42,9 @@ class NAFNet(nn.Module):
     dec_blk_nums: Sequence[int] = ()
     tlc_train_size: tuple[int, int] | None = None
     dtype: jnp.dtype = jnp.float32
+    # fused whole-NAFBlock Pallas kernel (explicit, not process state);
+    # None -> import-time default (models/layers.py)
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, inp):
@@ -58,7 +61,7 @@ class NAFNet(nn.Module):
         for li, num in enumerate(self.enc_blk_nums):
             tk = _tlc_kernel(self.tlc_train_size, scale, x.shape)
             for i in range(num):
-                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype,
+                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                              name=f"encoders_{li}_{i}")(x)
             encs.append(x)
             x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), dtype=self.dtype,
@@ -68,7 +71,7 @@ class NAFNet(nn.Module):
 
         tk = _tlc_kernel(self.tlc_train_size, scale, x.shape)
         for i in range(self.middle_blk_num):
-            x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype,
+            x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                          name=f"middle_blks_{i}")(x)
 
         for li, num in enumerate(self.dec_blk_nums):
@@ -81,7 +84,7 @@ class NAFNet(nn.Module):
             x = x + encs[-(li + 1)]
             tk = _tlc_kernel(self.tlc_train_size, scale, x.shape)
             for i in range(num):
-                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype,
+                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                              name=f"decoders_{li}_{i}")(x)
 
         x = nn.Conv(self.img_channel, (3, 3), padding=1, dtype=self.dtype,
@@ -111,6 +114,8 @@ class NAFNetRefFusion(nn.Module):
     dilations: Sequence[int] = (1, 2, 3)
     tlc_train_size: tuple[int, int] | None = None
     dtype: jnp.dtype = jnp.float32
+    # fused whole-NAFBlock Pallas kernel — see NAFNet
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, inp, ref):
@@ -136,7 +141,7 @@ class NAFNetRefFusion(nn.Module):
             cat = jnp.concatenate([x, warp_l.astype(x.dtype)], axis=-1)
             dim2 = cat.shape[-1]
             for i in range(n):
-                cat = NAFBlock(dim2, tlc_kernel=tk, dtype=self.dtype,
+                cat = NAFBlock(dim2, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                                name=f"{name}_{i}")(cat)
             return cat[..., : dim2 // 2]
 
@@ -151,7 +156,7 @@ class NAFNetRefFusion(nn.Module):
             x = fuse(x, warp[li], self.reffusion_n_blocks[li],
                      f"masa_blk_enc_{li}", tk)
             for i in range(num):
-                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype,
+                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                              name=f"encoders_{li}_{i}")(x)
             encs.append(x)
             x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), dtype=self.dtype,
@@ -166,7 +171,7 @@ class NAFNetRefFusion(nn.Module):
         x = fuse(x, warp[-1], self.reffusion_n_blocks_middle,
                  "masa_blk_middle_0", tk)
         for i in range(self.middle_blk_num):
-            x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype,
+            x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                          name=f"middle_blks_{i}")(x)
 
         from textualdegremoval_tpu.ops import pixel_shuffle
@@ -179,7 +184,7 @@ class NAFNetRefFusion(nn.Module):
             x = x + encs[-(li + 1)]
             tk = _tlc_kernel(self.tlc_train_size, scale, x.shape)
             for i in range(num):
-                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype,
+                x = NAFBlock(chan, tlc_kernel=tk, dtype=self.dtype, fused=self.fused,
                              name=f"decoders_{li}_{i}")(x)
 
         x = nn.Conv(self.img_channel, (3, 3), padding=1, dtype=self.dtype,

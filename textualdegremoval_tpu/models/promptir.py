@@ -73,12 +73,16 @@ def _promptir_trunk(self, inp, warp=None):
     checkpoints key-map mechanically.  `warp` enables RefFusion injection."""
     if True:
         d = self.dim
+        fused = getattr(self, "fused", None)
+        bwd_mode = getattr(self, "bwd_mode", None)
         kw = dict(ffn_expansion_factor=self.ffn_expansion_factor,
-                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype)
+                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype,
+                  fused=fused, bwd_mode=bwd_mode)
 
         def blocks(dim, heads, n, name):
             def run(x):
-                return tblock_stage(x, dim, heads, n, name, **kw)
+                return tblock_stage(x, dim, heads, n, name,
+                                    chain=getattr(self, "chain", None), **kw)
             return run
 
         def fuse(x, warp_l, heads, n, name):
@@ -181,6 +185,9 @@ class PromptIR(nn.Module):
     ln_type: str = "WithBias"
     decoder: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool | None = None
+    bwd_mode: str | None = None
+    chain: bool | None = None
 
     @nn.compact
     def __call__(self, inp_img):
@@ -211,6 +218,9 @@ class PromptIRRefFusion(nn.Module):
     ref_down_block_size: float = 1.5
     dilations: Sequence[int] = (1, 2, 3)
     dtype: jnp.dtype = jnp.float32
+    fused: bool | None = None
+    bwd_mode: str | None = None
+    chain: bool | None = None
 
     @nn.compact
     def __call__(self, inp_img, ref_img):

@@ -41,16 +41,24 @@ class Restormer(nn.Module):
     ln_type: str = "WithBias"
     dual_pixel_task: bool = False
     dtype: jnp.dtype = jnp.float32
+    # kernel selection (explicit, not process state): fused whole-block
+    # Pallas kernel, its backward mode, and cross-block chain fusion.
+    # None -> import-time defaults (models/layers.py).
+    fused: bool | None = None
+    bwd_mode: str | None = None
+    chain: bool | None = None
 
     @nn.compact
     def __call__(self, inp_img):
         d = self.dim
         kw = dict(ffn_expansion_factor=self.ffn_expansion_factor,
-                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype)
+                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype,
+                  fused=self.fused, bwd_mode=self.bwd_mode)
 
         def blocks(dim, heads, n, name):
             def run(x):
-                return tblock_stage(x, dim, heads, n, name, **kw)
+                return tblock_stage(x, dim, heads, n, name, chain=self.chain,
+                                    **kw)
             return run
 
         b, h0, w0, _ = inp_img.shape
@@ -144,12 +152,17 @@ class RestormerRefFusion(nn.Module):
     ref_down_block_size: float = 1.5
     dilations: Sequence[int] = (1, 2, 3)
     dtype: jnp.dtype = jnp.float32
+    # kernel selection (explicit, not process state) — see Restormer
+    fused: bool | None = None
+    bwd_mode: str | None = None
+    chain: bool | None = None
 
     @nn.compact
     def __call__(self, inp_img, ref_img):
         d = self.dim
         kw = dict(ffn_expansion_factor=self.ffn_expansion_factor,
-                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype)
+                  use_bias=self.bias, ln_type=self.ln_type, dtype=self.dtype,
+                  fused=self.fused, bwd_mode=self.bwd_mode)
 
         b, h0, w0, _ = inp_img.shape
         pad = 8 * self.lr_block_size
@@ -175,7 +188,8 @@ class RestormerRefFusion(nn.Module):
 
         def blocks(dim, heads, n, name):
             def run(x):
-                return tblock_stage(x, dim, heads, n, name, **kw)
+                return tblock_stage(x, dim, heads, n, name, chain=self.chain,
+                                    **kw)
             return run
 
         def fuse(x, warp_l, heads, n, name):

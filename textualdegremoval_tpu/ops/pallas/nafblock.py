@@ -220,11 +220,14 @@ def _make_apply_kernel(t, w, c):
     return kernel
 
 
+# Debug/tool override, read ONCE at import (no trace-time env reads).
+import os as _os
+_TILE_OVERRIDE = int(_os.environ.get("TDR_NAFBLOCK_TILE") or 0)
+
+
 def _pick_tile(wdt: int, c: int) -> int:
-    import os
-    override = os.environ.get("TDR_NAFBLOCK_TILE")
-    if override:
-        return int(override)
+    if _TILE_OVERRIDE:
+        return _TILE_OVERRIDE
     wc = wdt * max(c, 128)
     if wc <= 512 * 64:
         return 8

@@ -459,11 +459,18 @@ _TILE_TABLE = {
 }
 
 
+# Debug/tool override, read ONCE at import (trace-time env reads would
+# defeat jit cache keys — set it before importing, as the bench tools do).
+import os as _os
+_TILE_OVERRIDE = int(_os.environ.get("TDR_TBLOCK_TILE") or 0)
+# Kill-switch for the streaming gdfn-half backward kernel (import-time).
+_GDFN_BWD_ENABLED = _os.environ.get("TDR_GDFN_BWD", "1") in ("1", "true",
+                                                             "on")
+
+
 def _pick_tile(wdt: int, c: int) -> int:
-    import os
-    override = os.environ.get("TDR_TBLOCK_TILE")
-    if override:
-        return int(override)
+    if _TILE_OVERRIDE:
+        return _TILE_OVERRIDE
     t = _TILE_TABLE.get((wdt, c))
     if t:
         return t
@@ -648,22 +655,23 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
       w1s_d, dwgs, w2s_d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def tblock_fused(x, p, heads: int, ln_type: str = "WithBias"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def tblock_fused(x, p, heads: int, ln_type: str = "WithBias",
+                 bwd_mode: str = "save"):
     """Fused whole TransformerBlock.  x: (B, H, W, C); p: natural-shape
-    param dict (see tblock_ref).  Returns (B, H, W, C) in x.dtype."""
+    param dict (see tblock_ref).  Returns (B, H, W, C) in x.dtype.
+
+    bwd_mode: 'save' (default) saves the attn-residual boundary x1 in the
+    forward so the backward differentiates the two halves independently —
+    fastest (666.5 -> 519.8 ms/step at 384px b1).  'remat' saves only
+    (x, p) and recomputes through the two-part checkpoint — memory-lean,
+    enables larger per-chip batches.  Threaded from the module attribute
+    (models/layers.py TransformerBlock.bwd_mode), not process state."""
     return _tblock_impl(x, p, heads, ln_type)
 
 
-def _fwd(x, p, heads, ln_type):
-    # Default: save the attn-residual boundary x1 (one extra C-wide write
-    # in the kernel) so the backward differentiates the two halves
-    # independently at their saved inputs — no whole-block recompute
-    # (666.5 -> 519.8 ms/step at 384px b1).  TDR_TBLOCK_BWD=remat trades
-    # that speed for memory: save only (x, p) and recompute through the
-    # two-part checkpoint (enables larger per-chip batches).
-    import os
-    if os.environ.get("TDR_TBLOCK_BWD") == "remat":
+def _fwd(x, p, heads, ln_type, bwd_mode):
+    if bwd_mode == "remat":
         return _tblock_impl(x, p, heads, ln_type), (x, p, None)
     out, x1 = _tblock_impl(x, p, heads, ln_type, want_x1=True)
     return out, (x, p, x1)
@@ -673,8 +681,7 @@ def _gdfn_bwd_kernel_applies(x, p):
     """Use the streaming gdfn-half backward kernel when it fits: the
     weight-grad accumulators (c x 2*hpad f32, twice) live in VMEM for the
     whole grid, so the deep levels (c >= 384) fall back to jax.vjp."""
-    import os
-    if os.environ.get("TDR_GDFN_BWD", "1") not in ("1", "true", "on"):
+    if not _GDFN_BWD_ENABLED:
         return 0
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return 0
@@ -705,7 +712,7 @@ def _gdfn_bwd_kernel_applies(x, p):
     return t if (t >= 2 and hgt % t == 0) else 0
 
 
-def _bwd(heads, ln_type, res, g):
+def _bwd(heads, ln_type, bwd_mode, res, g):
     x, p, x1 = res
     if x1 is None:
         _, vjp = jax.vjp(

@@ -133,18 +133,16 @@ def make_train_step(
     multi-output models (SFNet's 3-scale supervision pattern).
     remat: rematerialize the forward during backward (jax.checkpoint) —
     trades ~30% step FLOPs for activation memory, enabling the reference's
-    batch-8 384px protocol per chip at full resolution.
+    batch-8 384px protocol per chip at full resolution.  When the model
+    uses the fused block kernels, construct it with bwd_mode='remat' too
+    (models/layers.py TransformerBlock.bwd_mode) so the kernels use their
+    memory-lean backward — the CLI threads both from one flag.
     ema_decay: reference train.ema_decay semantics (base_model.py:108-126,
     default 0 = EMA off).  When <= 0 the state's ema_params tree simply
     aliases params each step (no extra arrays, no flops), so checkpoints
     and eval paths stay structurally identical either way.
     """
     if remat:
-        # also flip the fused block kernels to their memory-lean backward
-        # (recompute through the two-part checkpoint instead of saving the
-        # attn boundary — ops/pallas/tblock.py); read at trace time
-        import os
-        os.environ["TDR_TBLOCK_BWD"] = "remat"
         apply_fn = jax.checkpoint(
             apply_fn, policy=jax.checkpoint_policies.nothing_saveable)
 

@@ -14,10 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if "--xla" in sys.argv:
-    os.environ["TDR_FUSED_NAFBLOCK"] = "0"
-else:
-    os.environ.setdefault("TDR_FUSED_NAFBLOCK", "1")
+FUSED = ("--xla" not in sys.argv and
+         os.environ.get("TDR_FUSED_NAFBLOCK", "1") in ("1", "true", "on"))
 os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdr_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
@@ -34,7 +32,7 @@ REPEATS = 3
 def main():
     from textualdegremoval_tpu.models.nafnet import NAFNetRefFusion
 
-    model = NAFNetRefFusion(dtype=jnp.bfloat16)  # GoPro yaml defaults
+    model = NAFNetRefFusion(dtype=jnp.bfloat16, fused=FUSED)  # GoPro yaml defaults
     key = jax.random.PRNGKey(0)
     lq = jax.random.normal(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
     ref = jax.random.normal(key, (BATCH, SIZE, SIZE, 3), jnp.float32)

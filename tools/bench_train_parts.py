@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("TDR_FUSED_TBLOCK", "1")
+FUSED = os.environ.get("TDR_FUSED_TBLOCK", "1") in ("1", "true", "on")
 os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdr_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
@@ -50,7 +50,7 @@ def main():
         dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
         heads=(1, 2, 4, 8), nf=48, ext_n_blocks=(4, 4, 4, 4),
         reffusion_n_blocks=(2, 2, 2, 2), lr_block_size=8,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16, fused=FUSED)
     key = jax.random.PRNGKey(0)
     lq = jax.random.normal(key, (1, SIZE, SIZE, 3), jnp.float32)
     ref = jax.random.normal(key, (1, SIZE, SIZE, 3), jnp.float32)
