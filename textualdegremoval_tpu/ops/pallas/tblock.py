@@ -451,11 +451,13 @@ def _make_apply_stats_kernel(t, w, c, hpad, ch, ln_type):
 
 
 # measured-optimal row tiles per (W, C) on v5e (tools/bench_tblock.py
-# sweep, BENCH_NOTES.md round 3); t=8 at (512, 96) exceeds the 16 MB
-# scoped-VMEM budget, t=2 is always slower
+# sweep, BENCH_NOTES.md rounds 3-4).  Round 4: raising the Mosaic
+# scoped-VMEM ceiling (compiler_params below) unlocked larger tiles —
+# t=8 at (512, 96) went from compile-OOM to the fastest (7.52 -> 6.09
+# ms/block); t=2 is always slower.
 _TILE_TABLE = {
-    (512, 48): 8, (512, 96): 4, (256, 96): 8, (256, 192): 4,
-    (128, 192): 4, (128, 384): 4, (64, 384): 8, (64, 768): 8,
+    (512, 48): 8, (512, 96): 8, (256, 96): 8, (256, 192): 16,
+    (128, 192): 4, (128, 384): 8, (64, 384): 8, (64, 768): 8,
 }
 
 
@@ -483,6 +485,11 @@ def _pick_tile(wdt: int, c: int) -> int:
 
 
 _INTERPRET = False
+
+# Mosaic scoped-VMEM ceiling for these kernels (v5e: 128 MiB/core; the
+# compiler's 16 MiB default rejects the t=8 row tile at (512, 96) whose
+# stack is ~20 MiB).  Leaves >90 MiB for the pipelined input windows.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
 
 
 def _prep_block_weights(p, c, x_dtype, ln_type):
@@ -520,7 +527,7 @@ def _prep_block_weights(p, c, x_dtype, ln_type):
         wq=wq.astype(x_dtype), wk=wk.astype(x_dtype), dwqk=dwqk,
         wv=wv.astype(x_dtype), dwv=dwv,
         wproj=p["proj"].reshape(c, c).astype(x_dtype),
-        w1s=w1s, dwgs=dwgs, w2s=w2s.astype(x_dtype),
+        w1s=w1s.astype(x_dtype), dwgs=dwgs, w2s=w2s.astype(x_dtype),
         hpad=hpad, ch=ch, temperature=p["temperature"],
     )
 
@@ -590,11 +597,14 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
     dwgs = dwgs.at[9:, :hidden].set(dwgf[:, hidden:])
     w2s = jnp.zeros((hpad, c), f32).at[:hidden].set(
         p["gd_out"].reshape(hidden, c).astype(f32))
-    # pass B matmuls consume weights in x.dtype (module-path semantics)
+    # pass B matmuls consume weights in x.dtype (module-path semantics).
+    # w1s included: the kernel casts its slices to z2d.dtype before the
+    # matmul anyway, so pre-casting is bit-identical and halves the
+    # largest weight buffer in VMEM (c x 2*hpad).
     wv_d = wv.astype(x.dtype)
     wproj_d = wproj.astype(x.dtype)
-    dwv_d = dwv  # taps multiply f32-shifted rows; keep f32
-    w1s_d = w1s
+    dwv_d = dwv  # taps multiply into f32 accumulators; keep f32
+    w1s_d = w1s.astype(x.dtype)
     w2s_d = w2s.astype(x.dtype)
 
     body = pl.BlockSpec((1, t, wdt, c), lambda bi, i: (bi, i, 0, 0),
@@ -628,6 +638,7 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
         ],
         scratch_shapes=[pltpu.VMEM((t + 2, wdt, c), x.dtype)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, x, x, ln1w, ln1b, wq.astype(x.dtype), wk.astype(x.dtype), dwqk)
 
     at = _attn_matrix(gram, qssq, kssq, p["temperature"], heads,
@@ -651,6 +662,7 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
             pltpu.VMEM((t, wdt, c), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, x, x, x, x, ln1w, ln1b, wv_d, dwv_d, at, wproj_d, ln2w, ln2b,
       w1s_d, dwgs, w2s_d)
 
@@ -828,6 +840,7 @@ def _tblock_chain_impl(x, ps, heads, ln_type, interpret=None):
         out_shape=stat_shapes,
         scratch_shapes=[pltpu.VMEM((t + 2, wdt, c), x.dtype)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, x, x, w0["ln1w"], w0["ln1b"], w0["wq"], w0["wk"], w0["dwqk"])
 
     # middle blocks: apply block i + stats of block i+1, one kernel each
@@ -850,6 +863,7 @@ def _tblock_chain_impl(x, ps, heads, ln_type, interpret=None):
                 pltpu.VMEM((1, wdt, c), x.dtype),
             ],
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(x, x, x, x, x, x,
           wi["ln1w"], wi["ln1b"], wi["wv"], wi["dwv"], at, wi["wproj"],
           wi["ln2w"], wi["ln2b"], wi["w1s"], wi["dwgs"], wi["w2s"],
@@ -873,6 +887,7 @@ def _tblock_chain_impl(x, ps, heads, ln_type, interpret=None):
             pltpu.VMEM((t, wdt, c), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, x, x, x, x, wl["ln1w"], wl["ln1b"], wl["wv"], wl["dwv"], at,
       wl["wproj"], wl["ln2w"], wl["ln2b"], wl["w1s"], wl["dwgs"], wl["w2s"])
 
