@@ -692,7 +692,8 @@ def _fwd(x, p, heads, ln_type, bwd_mode):
 def _gdfn_bwd_kernel_applies(x, p):
     """Use the streaming gdfn-half backward kernel when it fits: the
     weight-grad accumulators (c x 2*hpad f32, twice) live in VMEM for the
-    whole grid, so the deep levels (c >= 384) fall back to jax.vjp."""
+    whole grid; the kernel's 64 MB Mosaic ceiling (round 4 — v5e has 128
+    MiB/core) admits every level of the flagship."""
     if not _GDFN_BWD_ENABLED:
         return 0
     if jax.default_backend() != "tpu" and not _INTERPRET:
@@ -701,7 +702,7 @@ def _gdfn_bwd_kernel_applies(x, p):
     hidden = p["gd_in"].shape[-1] // 2
     from textualdegremoval_tpu.ops.pallas.gdfn import _round_up
     hpad = _round_up(hidden, 128)
-    if c * hpad > 192 * 512 or wdt > 2048:
+    if wdt > 2048:
         return 0
     t = _pick_tile(wdt, c)
     while t > 1 and hgt % t:
@@ -717,9 +718,10 @@ def _gdfn_bwd_kernel_applies(x, p):
         accs = 2 * (c * 2 * hpad * 4) + hpad * c * 4
         return 1.25 * (stack + io + accs)
 
-    while t > 2 and (_vmem(t) > 15 * 1024 * 1024 or hgt % t):
+    budget = 56 * 1024 * 1024  # headroom under the 64 MB kernel ceiling
+    while t > 2 and (_vmem(t) > budget or hgt % t):
         t //= 2
-    if _vmem(t) > 15 * 1024 * 1024:
+    if _vmem(t) > budget:
         return 0
     return t if (t >= 2 and hgt % t == 0) else 0
 

@@ -319,6 +319,8 @@ def gdfn_half_bwd(x1, dout, p, ln_type, t):
             pltpu.VMEM((t, wdt, c), f32),
         ],
         interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x1, x1, x1, x1, x1, dout, dout, dout, ln2w, ln2b, w1s, dwgs, w2s)
 
     pdt = p["gd_in"].dtype
