@@ -96,6 +96,7 @@ class TestRefFusionConversion:
 
 
 class TestNAFNetRefFusionConversion:
+    @pytest.mark.slow  # 46 s compile on CPU (fast-suite budget, round 4)
     def test_forward_parity(self):
         from textualdegremoval_tpu.models.nafnet import NAFNetRefFusion
         from torch_oracles import ONAFNetRefFusion
@@ -125,6 +126,7 @@ class TestNAFNetRefFusionConversion:
 
 
 class TestDRSformerConversion:
+    @pytest.mark.slow  # 44 s compile on CPU (fast-suite budget, round 4)
     def test_forward_parity_no_mefc(self):
         from textualdegremoval_tpu.models.drsformer import DRSformer
         from torch_oracles import ODRSformer

@@ -71,6 +71,7 @@ class TestSFNet:
         assert outs[1].shape == (1, 16, 16, 3)
         assert outs[2].shape == (1, 32, 32, 3)
 
+    @pytest.mark.slow  # 41 s compile on CPU (fast-suite budget, round 4)
     def test_tlc_variant(self):
         m = SFNet(num_res=2, base_channel=8, tlc_base=246)
         x = jax.random.normal(KEY, (1, 48, 48, 3))

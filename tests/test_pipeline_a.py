@@ -252,6 +252,7 @@ def _tiny_setup():
     return mods, params, batch
 
 
+@pytest.mark.slow  # 127 s compile on CPU (fast-suite budget, round 4)
 def test_remat_loss_and_grads_match():
     # remat=True (UNet jax.checkpoint) must not change the loss or grads
     from textualdegremoval_tpu.diffusion.pipeline import (

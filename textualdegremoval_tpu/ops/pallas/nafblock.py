@@ -238,6 +238,10 @@ def _pick_tile(wdt: int, c: int) -> int:
 
 _INTERPRET = False
 
+# Mosaic scoped-VMEM ceiling (round 4, same rationale as tblock.py: v5e
+# has 128 MiB/core; the 16 MiB default was the tile-size constraint).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
+
 
 def _nafblock_impl(x, p, interpret=None):
     if interpret is None:
@@ -305,6 +309,7 @@ def _nafblock_impl(x, p, interpret=None):
         out_shape=jax.ShapeDtypeStruct((b, 1, c), f32),
         scratch_shapes=[pltpu.VMEM((t + 2, wdt, c), x.dtype)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, x, x, ln1w, ln1b, w1a, w1b, b1, dwt)
 
     # SCA glue: global mean -> 1x1 conv (O(C^2), plain XLA)
@@ -324,6 +329,7 @@ def _nafblock_impl(x, p, interpret=None):
         out_shape=jax.ShapeDtypeStruct((b, hgt, wdt, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((t + 2, wdt, c), x.dtype)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, x, x, ln1w, ln1b, w1a, w1b, b1, dwt, s, w3, ln2w, ln2b, w4a, w4b,
       b4, w5, bg)
 

@@ -780,12 +780,11 @@ def _tblock_chain_impl(x, ps, heads, ln_type, interpret=None):
     hpad, ch = W[0]["hpad"], W[0]["ch"]
     assert all(w["hpad"] == hpad for w in W)
 
-    # Scoped-VMEM budget for the combined kernel (16 MB/core hard limit;
-    # lanes pad c to multiples of 128).  Estimate calibrated against the
-    # compiler's reported 17.29 MB at (512, c48->128, t8); shrink the row
-    # tile until it fits, and fall back to the per-block fused kernels
-    # when even t=2 does not (the c>=768 deep levels, where both blocks'
-    # weights alone exceed the budget).
+    # Scoped-VMEM budget for the combined kernel (40 MB Mosaic ceiling
+    # via _COMPILER_PARAMS, round 4; lanes pad c to multiples of 128).
+    # Estimate calibrated against the compiler's reported 17.29 MB at
+    # (512, c48->128, t8); shrink the row tile until it fits, and fall
+    # back to the per-block fused kernels when even t=2 does not.
     eb = jnp.dtype(x.dtype).itemsize
     ce = -(-c // 128) * 128
 
@@ -796,9 +795,10 @@ def _tblock_chain_impl(x, ps, heads, ln_type, interpret=None):
                  + hpad * ce * eb + 2 * ce * ce * 4)
         return 1.35 * (per_row * tt + fixed)
 
-    while t > 2 and (_vmem(t) > 15 * 1024 * 1024 or hgt % t):
+    budget = 36 * 1024 * 1024
+    while t > 2 and (_vmem(t) > budget or hgt % t):
         t //= 2
-    if not interpret and _vmem(t) > 15 * 1024 * 1024:
+    if not interpret and _vmem(t) > budget:
         y = x
         for p in ps:
             y = _tblock_impl(y, p, heads, ln_type, interpret)
