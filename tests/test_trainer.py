@@ -84,6 +84,35 @@ class TestOptimizer:
         p3 = tu.flatten_dict(s3.params)
         assert not np.allclose(p3[masa_key], p0[masa_key])
 
+    @pytest.mark.slow
+    def test_structural_freeze_matches_masked_step(self):
+        """make_train_step(masa_frozen=True) — the trace-time-pruned masa
+        backward used by the CLI during the param_fix_iterations phase —
+        must produce the same updated params as the grad-masking path up
+        to f32 rounding (pruning the masa backward changes XLA fusion of
+        the shared trunk backward) and zero masa movement."""
+        m = tiny_model()
+        lq = jax.random.normal(KEY, (2, 32, 32, 3))
+        ref = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        params = m.init(KEY, lq, ref)["params"]
+        sched = cosine_annealing_restart_cyclic_lr(
+            1e-3, [100, 100], [1, 1], [1e-3, 1e-6])
+        tx = build_optimizer(params, sched, sched, grad_clip=0.01,
+                             param_fix_iterations=2)
+        state = create_train_state(params, tx)
+        batch = {"lq": lq, "ref": ref, "gt": lq * 0.9}
+        step = make_train_step(m.apply, l1_loss, tx, donate=False)
+        frozen = make_train_step(m.apply, l1_loss, tx, donate=False,
+                                 masa_frozen=True)
+        sa, ma = step(state, batch)
+        sb, mb = frozen(state, batch)
+        pa, pb = tu.flatten_dict(sa.params), tu.flatten_dict(sb.params)
+        for k in pa:
+            np.testing.assert_allclose(
+                np.asarray(pa[k]), np.asarray(pb[k]), atol=2e-6,
+                err_msg="/".join(k))
+        assert np.isclose(float(ma["l_pix"]), float(mb["l_pix"]))
+
 
 @pytest.mark.slow
 class TestTrainStep:

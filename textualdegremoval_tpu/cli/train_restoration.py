@@ -221,6 +221,16 @@ def main(argv=None):
     loss_fn = build_loss(topt["pixel_opt"])
     step_fn = make_train_step(model.apply, loss_fn, tx, ema_decay=ema_decay,
                               remat=remat)
+    # While masa is frozen (reference image_restoration_ref_model.py:204-208,
+    # iter < param_fix_iterations) a structurally-pruned step skips the
+    # entire masa backward (~18% of the flagship 384px step).  One extra
+    # jit specialization; trunk updates match step_fn's up to f32 rounding.
+    fix_iters = int(topt.get("param_fix_iterations", 0) or 0)
+    frozen_step_fn = None
+    if fix_iters > 0:
+        frozen_step_fn = make_train_step(
+            model.apply, loss_fn, tx, ema_decay=ema_decay, remat=remat,
+            masa_frozen=True)
 
     # checkpointing / auto-resume (reference :137-186)
     ckpt = CheckpointManager(opt["path"]["training_states"])
@@ -288,7 +298,10 @@ def main(argv=None):
                     "ref": np.asarray(ref_in),
                 })
                 data_time = time.time() - t_data
-                state, metrics = step_fn(state, step_batch)
+                fn = (frozen_step_fn
+                      if frozen_step_fn is not None and current_iter < fix_iters
+                      else step_fn)
+                state, metrics = fn(state, step_batch)
                 if (check_freq and current_iter % check_freq == 0
                         and jax.process_index() == 0):
                     _dump_lher(model, state, step_batch, opt, current_iter)

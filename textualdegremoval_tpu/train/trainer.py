@@ -125,6 +125,7 @@ def make_train_step(
     has_ref: bool = True,
     donate: bool = True,
     remat: bool = False,
+    masa_frozen: bool = False,
 ):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
@@ -137,6 +138,17 @@ def make_train_step(
     uses the fused block kernels, construct it with bwd_mode='remat' too
     (models/layers.py TransformerBlock.bwd_mode) so the kernels use their
     memory-lean backward — the CLI threads both from one flag.
+    masa_frozen: structurally skip the MASA backward.  The reference's
+    freeze phase (image_restoration_ref_model.py:204-208,
+    param_fix_iterations) sets requires_grad=False, which prunes the masa
+    encoder/match/warp backward from the autograd graph entirely; the
+    optax grad-masking in build_optimizer only zeroes grads AFTER
+    computing them.  This flag stop_gradients the masa param subtree
+    inside the loss, so XLA drops that backward at trace time (~18% of
+    the flagship 384px step).  The CLI compiles one step per phase and
+    switches at param_fix_iterations; trunk updates match the masking
+    path up to f32 fusion rounding (the masking runs before the global
+    clip, so the clip sees zero masa grads either way).
     ema_decay: reference train.ema_decay semantics (base_model.py:108-126,
     default 0 = EMA off).  When <= 0 the state's ema_params tree simply
     aliases params each step (no extra arrays, no flops), so checkpoints
@@ -150,6 +162,11 @@ def make_train_step(
         has_mutable = bool(state.model_state)
 
         def compute_loss(params):
+            if masa_frozen:
+                mask = _masa_mask(params)
+                params = jax.tree_util.tree_map(
+                    lambda p, m: jax.lax.stop_gradient(p) if m else p,
+                    params, mask)
             args = (batch["lq"], batch["ref"]) if has_ref else (batch["lq"],)
             variables = {"params": params, **state.model_state}
             if has_mutable:
