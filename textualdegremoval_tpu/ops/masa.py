@@ -35,9 +35,6 @@ TPU-first implementation decisions (vs. the CUDA/torch original):
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -119,17 +116,23 @@ def fold_divisor(lh: int, lw: int, psize: int, scale: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _l2n(x, axis, eps=1e-12):
-    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
-
-
 def masa_coarse_search(
     lq_blocks: jnp.ndarray,
     ref_feat: jnp.ndarray,
     dilations=(1, 2, 3),
 ) -> jnp.ndarray:
     """Multi-dilation center-patch correlation; top-1 over ref positions.
+
+    Shift-matmul formulation: the normalized patch correlation
+    <p, r>/(|p||r|) is computed as one MXU matmul per dilation against a
+    9-shifted-slice concatenation of the ref feature (pure data movement in
+    the input dtype), with both norms applied POST-hoc — the patch norm from
+    the patch itself, the ref-patch norm from a 3x3 box sum of the
+    channel-squared map (zero padding reproduces torch-unfold border
+    semantics).  vs. the previous unfold_nhwc form this removes the
+    (Hr*Wr, 9C) f32 materialization AND the one-hot depthwise conv that
+    `conv_general_dilated_patches` lowers to — measured 6.85 ms -> MXU
+    matmul + O(HW) VPU maps at the flagship deepest level (512 px, C=384).
 
     Args:
       lq_blocks: (N, pb, ky+2, kx+2, C) haloed LQ blocks of the deepest
@@ -141,8 +144,6 @@ def masa_coarse_search(
     n, pb, kyh, kxh, c = lq_blocks.shape
     _, hr, wr, _ = ref_feat.shape
     cy, cx = kyh // 2, kxh // 2  # center of the haloed block
-    reff = ref_feat.astype(jnp.float32)
-    lqf = lq_blocks.astype(jnp.float32)
 
     # A dilation only fits if the 3x3 dilated center patch stays inside the
     # haloed block (the reference would raise on such shapes; here small
@@ -152,18 +153,35 @@ def masa_coarse_search(
         if cy - d >= 0 and cy + d < kyh and cx - d >= 0 and cx + d < kxh
     ] or [1]
 
+    # channel-sum-of-squares map for the ref-patch norms (f32, (N,Hr,Wr))
+    sq = jnp.sum(jnp.square(ref_feat.astype(jnp.float32)), axis=-1)
+
     corr_sum = jnp.zeros((n, pb, hr * wr), jnp.float32)
     for d in dilations:
-        # center 3x3 dilated patch, ordered (c, ki, kj)
-        patch = lqf[:, :, cy - d : cy + d + 1 : d, cx - d : cx + d + 1 : d, :]
-        patch = patch.transpose(0, 1, 4, 2, 3).reshape(n, pb, c * 9)
-        ref_p = unfold_nhwc(reff, 3, padding=d, dilation=d)  # (N, Hr, Wr, c*9)
-        ref_p = ref_p.reshape(n, hr * wr, c * 9)
-        patch = _l2n(patch, axis=-1)
-        ref_p = _l2n(ref_p, axis=-1)
-        corr_sum = corr_sum + jnp.einsum(
-            "npk,nrk->npr", patch, ref_p, preferred_element_type=jnp.float32
-        )
+        # center 3x3 dilated patch, ordered (a, b, c) to match the ref concat
+        patch = lq_blocks[:, :, cy - d : cy + d + 1 : d,
+                          cx - d : cx + d + 1 : d, :]
+        pnorm = jnp.sqrt(jnp.sum(
+            jnp.square(patch.astype(jnp.float32)), axis=(2, 3, 4)))  # (N, pb)
+        patch = patch.reshape(n, pb, 9 * c)
+
+        refp = jnp.pad(ref_feat, ((0, 0), (d, d), (d, d), (0, 0)))
+        sqp = jnp.pad(sq, ((0, 0), (d, d), (d, d)))
+        shifts = []
+        rn2 = jnp.zeros((n, hr, wr), jnp.float32)
+        for a in range(3):
+            for b in range(3):
+                shifts.append(
+                    refp[:, a * d : a * d + hr, b * d : b * d + wr, :])
+                rn2 = rn2 + sqp[:, a * d : a * d + hr, b * d : b * d + wr]
+        ref_cat = jnp.concatenate(shifts, axis=-1).reshape(n, hr * wr, 9 * c)
+        rnorm = jnp.sqrt(rn2).reshape(n, hr * wr)
+
+        raw = jnp.einsum("npk,nrk->npr", patch, ref_cat,
+                         preferred_element_type=jnp.float32)
+        denom = (jnp.maximum(pnorm, 1e-12)[:, :, None]
+                 * jnp.maximum(rnorm, 1e-12)[:, None, :])
+        corr_sum = corr_sum + raw / denom
     return jnp.argmax(corr_sum, axis=-1).astype(jnp.int32)
 
 
@@ -235,13 +253,27 @@ def masa_fine_search(
     ky, kx = kyh - 2, kxh - 2
     ry, rx = d2y - psize + 1, d2x - psize + 1
 
-    lq_p = unfold_nhwc(lq_blocks.astype(jnp.float32), psize)  # (NB, ky, kx, 9c)
-    ref_p = unfold_nhwc(ref_windows.astype(jnp.float32), psize)  # (NB, ry, rx, 9c)
-    lq_p = _l2n(lq_p.reshape(nb, ky * kx, -1), axis=-1)
-    ref_p = _l2n(ref_p.reshape(nb, ry * rx, -1), axis=-1)
-    corr = jnp.einsum(
-        "nlk,nrk->nlr", lq_p, ref_p, preferred_element_type=jnp.float32
-    )  # (NB, ky*kx, ry*rx)
+    # Shift-matmul form (see masa_coarse_search): valid 3x3 patches of both
+    # sides as psize^2 shifted-slice concatenations in the input dtype, one
+    # batched MXU matmul, norms applied post-hoc from channel-squared box
+    # sums.  soft_att gradients flow through the matmul and the norms
+    # (psize^2 cheap slice-adds) instead of an unfold backward.
+    def _cat_and_norm(x, oy, ox):
+        sqm = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+        views, n2 = [], jnp.zeros((nb, oy, ox), jnp.float32)
+        for a in range(psize):
+            for b in range(psize):
+                views.append(x[:, a : a + oy, b : b + ox, :])
+                n2 = n2 + sqm[:, a : a + oy, b : b + ox]
+        cat = jnp.concatenate(views, axis=-1).reshape(nb, oy * ox, -1)
+        return cat, jnp.sqrt(n2).reshape(nb, oy * ox)
+
+    lq_cat, lnorm = _cat_and_norm(lq_blocks, ky, kx)
+    ref_cat, rnorm = _cat_and_norm(ref_windows, ry, rx)
+    raw = jnp.einsum("nlk,nrk->nlr", lq_cat, ref_cat,
+                     preferred_element_type=jnp.float32)
+    corr = raw / (jnp.maximum(lnorm, 1e-12)[:, :, None]
+                  * jnp.maximum(rnorm, 1e-12)[:, None, :])
     index = jnp.argmax(corr, axis=-1).astype(jnp.int32)
     soft = jnp.take_along_axis(corr, index[..., None], axis=-1)[..., 0]
     return index.reshape(nb, ky, kx), soft.reshape(nb, ky, kx)
@@ -283,20 +315,23 @@ def _transfer_tiles(ref_window, nb, d2y, d2x, s, c):
         nb, d2y * d2x, s * s * c)
 
 
-def _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
-                   select_fn):
-    """Shared fold/divisor/attention math of masa_transfer; patch selection
-    via select_fn(tiles, g) -> (NB, ky, kx, s*s*C)."""
+def _transfer_weights(index, psize, d2y, d2x):
+    """Selection-count matrix of the MASA fold.
+
+    W[l, p] = how many of output cell l's psize^2 neighboring grid cells
+    selected window tile p (integer-valued, exactly representable in bf16),
+    cnt[l] = number of in-bounds neighbors (the fold divisor).  Both are
+    O(L * d2y*d2x) int math — tiny next to the tile payload.
+
+    Returns (W (NB, ky*kx, d2y*d2x) f32, cnt (1, ky, kx, 1) f32).
+    """
     nb, ky, kx = index.shape
-    s = scale
     rx = d2x - psize + 1
     half = psize // 2
-    dt = tiles.dtype
-
     iy = index // rx
     ix = index % rx
-    acc_dt = jnp.float32 if dt == jnp.float32 else dt
-    out = jnp.zeros((nb, ky, kx, s * s * c), acc_dt)
+    cells = jnp.arange(d2y * d2x, dtype=jnp.int32)
+    w = jnp.zeros((nb, ky * kx, d2y * d2x), jnp.float32)
     cnt = jnp.zeros((1, ky, kx, 1), jnp.float32)
     for a in range(psize):
         oy = a - half
@@ -307,20 +342,12 @@ def _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
             iy_sh = jnp.roll(iy, (oy, ox), axis=(1, 2))
             ix_sh = jnp.roll(ix, (oy, ox), axis=(1, 2))
             g = (iy_sh + a) * d2x + (ix_sh + b)  # (NB, ky, kx)
-            sel = select_fn(tiles, g)
             valid = jnp.zeros((1, ky, kx, 1), jnp.float32)
             valid = valid.at[:, ly0:ly1, lx0:lx1].set(1.0)
-            out = out + sel.astype(acc_dt) * valid.astype(acc_dt)
+            onehot = (g.reshape(nb, ky * kx, 1) == cells).astype(jnp.float32)
+            w = w + onehot * valid.reshape(1, ky * kx, 1)
             cnt = cnt + valid
-    out = (out.astype(jnp.float32) / cnt).astype(acc_dt)
-    out = out.reshape(nb, ky, kx, s, s, c).transpose(0, 1, 3, 2, 4, 5)
-    out = out.reshape(nb, ky * s, kx * s, c)
-    att = jax.image.resize(
-        soft_att[..., None].astype(jnp.float32),
-        (nb, ky * s, kx * s, 1),
-        method="bilinear",
-    ).astype(acc_dt)
-    return (out * att).astype(dt)
+    return w, cnt
 
 
 def masa_transfer(
@@ -333,22 +360,23 @@ def masa_transfer(
     """Warp a ref window onto the LQ block grid at one pyramid scale.
 
     Semantics identical to the reference's unfold -> index-select -> fold(/
-    divisor) chain (network_nafnet_guided_arch.py:538-555), but reorganized
-    tile-wise to be traffic-optimal on TPU.  Key observation: kernel =
-    psize*scale with stride scale means every output (scale x scale) tile is
-    covered by exactly the patches selected at its psize^2 neighboring grid
-    cells, and each contribution is a whole aligned tile of the ref window.
-    So the fold is
+    divisor) chain (network_nafnet_guided_arch.py:538-555), but collapsed
+    into ONE batched MXU matmul.  Key observations: (1) kernel =
+    psize*scale with stride scale means every output (scale x scale) tile
+    is covered by exactly the patches selected at its psize^2 neighboring
+    grid cells, and each contribution is a whole aligned tile of the ref
+    window; (2) summing whole tiles by data-dependent index is a linear map,
+    so the entire overlap-add fold is
 
-        out_tile[m] = sum_{a,b in psize^2} window_tile[idx2d(m+half-a, ...) + (a, b)]
-        divisor[m]  = #valid neighbors  (constant within a tile)
+        out = (W @ tiles) / cnt,   W[l, p] = #neighbors of l that picked p
 
-    i.e. psize^2 output-sized row-gathers (rows of scale*scale*C contiguous
-    elements) + adds, in the input dtype.  The previous formulation
-    (materialize the full unfold, one-hot matmul, 9 shifted scatter-adds in
-    f32) moved ~9x-amplified f32 copies of the window patches through HBM —
-    at 512 px it was the single largest traffic source in the model (~11 GB
-    of the 146 GB total; this version moves ~9 output-sizes in bf16).
+    with W integer-valued and index-only (built by psize^2 one-hot adds over
+    the tiny (L, d2y*d2x) grid).  One (NB, L, P) x (NB, P, s*s*C) matmul
+    reads the tile payload once and runs on the MXU; its autodiff backward
+    is the transposed matmul — no gathers, no scatter-adds.  The previous
+    formulation (psize^2 take_along_axis row-selections) lowered to
+    per-element gathers on TPU and measured ~3 ms/level at the 512 px
+    flagship; this one is roofline-bound on the single tile-payload read.
 
     Args:
       ref_window: (NB, d2y*scale, d2x*scale, C_s).
@@ -357,77 +385,28 @@ def masa_transfer(
     Returns:
       (NB, ky*scale, kx*scale, C_s).
     """
-    return _masa_transfer_vjp(ref_window, soft_att, index, psize, scale)
-
-
-def _transfer_gather(ref_window, soft_att, index, psize, scale):
-    """Forward: psize^2 row-gathers of aligned tiles (traffic-optimal).
-
-    Accumulation dtype note: the sum is of <= psize^2 O(1) values divided
-    by an exact small-int count, so bf16 accumulation is safe and halves
-    the HBM traffic of the gather+add chains (f32 kept under f32 inputs so
-    CPU parity tests are bit-identical)."""
-    nb = ref_window.shape[0]
+    nb, ky, kx = index.shape
     s = scale
     hs, ws = ref_window.shape[1], ref_window.shape[2]
     c = ref_window.shape[-1]
     d2y, d2x = hs // s, ws // s
+    dt = ref_window.dtype
+
     tiles = _transfer_tiles(ref_window, nb, d2y, d2x, s, c)
-
-    def select(tiles, g):
-        ky, kx = g.shape[1], g.shape[2]
-        return jnp.take_along_axis(
-            tiles, g.reshape(nb, ky * kx, 1), axis=1
-        ).reshape(nb, ky, kx, s * s * c)
-
-    return _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
-                          select)
-
-
-def _transfer_onehot(ref_window, soft_att, index, psize, scale):
-    """Same math with selection as a one-hot einsum: its autodiff backward
-    is psize^2 small MXU matmuls into the tile grid instead of the
-    scatter-adds XLA generates for take_along_axis (measurably slower on
-    TPU).  Used only to derive masa_transfer's backward."""
-    nb = ref_window.shape[0]
-    s = scale
-    hs, ws = ref_window.shape[1], ref_window.shape[2]
-    c = ref_window.shape[-1]
-    d2y, d2x = hs // s, ws // s
-    tiles = _transfer_tiles(ref_window, nb, d2y, d2x, s, c)
-    cells = jnp.arange(d2y * d2x, dtype=jnp.int32)
-
-    def select(tiles, g):
-        ky, kx = g.shape[1], g.shape[2]
-        onehot = (g.reshape(nb, ky * kx, 1) == cells).astype(tiles.dtype)
-        return jnp.einsum("nkp,npc->nkc", onehot, tiles).reshape(
-            nb, ky, kx, s * s * c)
-
-    return _transfer_body(tiles, index, soft_att, psize, scale, d2x, c,
-                          select)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _masa_transfer_vjp(ref_window, soft_att, index, psize, scale):
-    return _transfer_gather(ref_window, soft_att, index, psize, scale)
-
-
-def _mt_fwd(ref_window, soft_att, index, psize, scale):
-    out = _transfer_gather(ref_window, soft_att, index, psize, scale)
-    return out, (ref_window, soft_att, index)
-
-
-def _mt_bwd(psize, scale, res, g):
-    ref_window, soft_att, index = res
-    _, vjp = jax.vjp(
-        lambda rw, sa: _transfer_onehot(rw, sa, index, psize, scale),
-        ref_window, soft_att)
-    d_rw, d_sa = vjp(g)
-    d_idx = np.zeros(index.shape, jax.dtypes.float0)
-    return d_rw, d_sa, d_idx
-
-
-_masa_transfer_vjp.defvjp(_mt_fwd, _mt_bwd)
+    w, cnt = _transfer_weights(index, psize, d2y, d2x)
+    out = jnp.einsum("nlp,npc->nlc", w.astype(dt), tiles,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(nb, ky, kx, s * s * c) / cnt
+    acc_dt = jnp.float32 if dt == jnp.float32 else dt
+    out = out.astype(acc_dt)
+    out = out.reshape(nb, ky, kx, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(nb, ky * s, kx * s, c)
+    att = jax.image.resize(
+        soft_att[..., None].astype(jnp.float32),
+        (nb, ky * s, kx * s, 1),
+        method="bilinear",
+    ).astype(acc_dt)
+    return (out * att).astype(dt)
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,10 @@ Protocol: device-side chain of ITERS steps via lax.fori_loop carrying the
 TrainState, fetched once (see BENCH_NOTES.md).  Prints one JSON line:
   {"metric": "restoration_train_step_384px_b<B>", "value": <ms>, ...}
 
-Usage: python tools/bench_train.py [batch] [size] [--remat]
+Usage: python tools/bench_train.py [batch] [size] [--remat] [--frozen]
+
+--frozen measures the param_fix_iterations-phase step (masa backward
+structurally pruned, train/trainer.py make_train_step masa_frozen).
 """
 
 import json
@@ -42,6 +45,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 384
     remat = "--remat" in sys.argv
+    frozen = "--frozen" in sys.argv
 
     model = RestormerRefFusion(
         dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
@@ -64,7 +68,7 @@ def main():
     tx = build_optimizer(params, sched, ref_sched, grad_clip=0.01)
     state = create_train_state(params, tx)
     step = make_train_step(model.apply, l1_loss, tx, donate=False,
-                           remat=remat)
+                           remat=remat, masa_frozen=frozen)
 
     # state/batch as jit ARGUMENTS (relay request-size limit)
     def chain(state, lq, ref, gt):
@@ -96,7 +100,8 @@ def main():
           f"remat={remat}, chained x{ITERS}, {REPEATS} repeats)",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"restoration_train_step_{size}px_b{batch}",
+        "metric": f"restoration_train_step_{size}px_b{batch}"
+                  + ("_frozen" if frozen else ""),
         "value": round(mean * 1e3, 1),
         "unit": "ms/step",
         "steps_per_sec": round(1.0 / mean, 3),
