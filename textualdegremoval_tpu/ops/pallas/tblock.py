@@ -468,6 +468,9 @@ _TILE_OVERRIDE = int(_os.environ.get("TDR_TBLOCK_TILE") or 0)
 # Kill-switch for the streaming gdfn-half backward kernel (import-time).
 _GDFN_BWD_ENABLED = _os.environ.get("TDR_GDFN_BWD", "1") in ("1", "true",
                                                              "on")
+# Kill-switch for the streaming attn-half backward kernel (import-time).
+_ATTN_BWD_ENABLED = _os.environ.get("TDR_ATTN_BWD", "1") in ("1", "true",
+                                                             "on")
 
 
 def _pick_tile(wdt: int, c: int) -> int:
@@ -551,7 +554,8 @@ def _attn_matrix(gram, qssq, kssq, temperature, heads, dtype):
     return a.astype(dtype)
 
 
-def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
+def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False,
+                 want_stats=False):
     if interpret is None:
         interpret = _INTERPRET
     b, hgt, wdt, c = x.shape
@@ -565,7 +569,8 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
     if t < 2 or hgt % t or wdt > 2048:
         if want_x1:
             x1 = _tblock_attn_part(x, p, heads, ln_type)
-            return _tblock_gdfn_part(x1, p, ln_type), x1
+            out = _tblock_gdfn_part(x1, p, ln_type)
+            return (out, x1, None) if want_stats else (out, x1)
         return tblock_ref(x, p, heads, ln_type)
     n_tiles = hgt // t
     f32 = jnp.float32
@@ -644,7 +649,7 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
     at = _attn_matrix(gram, qssq, kssq, p["temperature"], heads,
                       x.dtype).transpose(0, 2, 1)
 
-    return pl.pallas_call(
+    result = pl.pallas_call(
         _make_apply_kernel(t, wdt, c, hpad, ch, ln_type, want_x1),
         grid=(b, n_tiles),
         in_specs=[row(-2), row(-1), body, row(t), row(t + 1),
@@ -665,6 +670,10 @@ def _tblock_impl(x, p, heads, ln_type, interpret=None, want_x1=False):
         compiler_params=_COMPILER_PARAMS,
     )(x, x, x, x, x, ln1w, ln1b, wv_d, dwv_d, at, wproj_d, ln2w, ln2b,
       w1s_d, dwgs, w2s_d)
+    if want_x1 and want_stats:
+        out, x1 = result
+        return out, x1, (gram, qssq, kssq)
+    return result
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -684,9 +693,13 @@ def tblock_fused(x, p, heads: int, ln_type: str = "WithBias",
 
 def _fwd(x, p, heads, ln_type, bwd_mode):
     if bwd_mode == "remat":
-        return _tblock_impl(x, p, heads, ln_type), (x, p, None)
-    out, x1 = _tblock_impl(x, p, heads, ln_type, want_x1=True)
-    return out, (x, p, x1)
+        return _tblock_impl(x, p, heads, ln_type), (x, p, None, None)
+    # Also save the pass-A statistics (C-sized, ~free): the streaming
+    # attn-half backward derives every global softmax/norm gradient term
+    # from them without re-running pass A.
+    out, x1, stats = _tblock_impl(x, p, heads, ln_type, want_x1=True,
+                                  want_stats=True)
+    return out, (x, p, x1, stats)
 
 
 def _gdfn_bwd_kernel_applies(x, p):
@@ -726,8 +739,42 @@ def _gdfn_bwd_kernel_applies(x, p):
     return t if (t >= 2 and hgt % t == 0) else 0
 
 
+def _attn_bwd_kernel_applies(x, p):
+    """Use the streaming attn-half backward kernel when its pass-2 VMEM
+    footprint fits: 3 (t+4)- and 3 (t+2)-row activation buffers plus f32
+    stack temporaries, under the 64 MB kernel ceiling."""
+    if not _ATTN_BWD_ENABLED:
+        return 0
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return 0
+    b, hgt, wdt, c = x.shape
+    if wdt > 2048:
+        return 0
+    t = _pick_tile(wdt, c)
+    while t > 1 and hgt % t:
+        t //= 2
+    ce = -(-c // 128) * 128
+    eb = jnp.dtype(x.dtype).itemsize
+
+    def _vmem(tt):
+        scratch = wdt * ce * (3 * (tt + 4) * eb + 3 * (tt + 2) * eb
+                              + tt * 4)
+        stack = wdt * ce * ((tt + 4) * 8 + (tt + 2) * 16)
+        io = (2 * tt + 8) * wdt * ce * eb
+        weights = (5 * c * c * eb + c * 3 * c * 4 + c * c * 4
+                   + 27 * ce * 4)
+        return 1.3 * (scratch + stack + io + weights)
+
+    budget = 56 * 1024 * 1024
+    while t > 2 and (_vmem(t) > budget or hgt % t):
+        t //= 2
+    if _vmem(t) > budget:
+        return 0
+    return t if (t >= 2 and hgt % t == 0) else 0
+
+
 def _bwd(heads, ln_type, bwd_mode, res, g):
-    x, p, x1 = res
+    x, p, x1, stats = res
     if x1 is None:
         _, vjp = jax.vjp(
             lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type), x, p)
@@ -743,9 +790,17 @@ def _bwd(heads, ln_type, bwd_mode, res, g):
         _, vjp_g = jax.vjp(
             lambda xx, pp: _tblock_gdfn_part(xx, pp, ln_type), x1, p)
         dx1, dp_g = vjp_g(g)
-    _, vjp_a = jax.vjp(
-        lambda xx, pp: _tblock_attn_part(xx, pp, heads, ln_type), x, p)
-    dx, dp_a = vjp_a(dx1)
+    ta = _attn_bwd_kernel_applies(x, p) if stats is not None else 0
+    if ta:
+        from textualdegremoval_tpu.ops.pallas.tblock_attn_bwd import (
+            attn_half_bwd)
+
+        dx, ga = attn_half_bwd(x, dx1, p, heads, ln_type, stats, ta)
+        dp_a = {k: ga.get(k, jnp.zeros_like(v)) for k, v in p.items()}
+    else:
+        _, vjp_a = jax.vjp(
+            lambda xx, pp: _tblock_attn_part(xx, pp, heads, ln_type), x, p)
+        dx, dp_a = vjp_a(dx1)
     dp = jax.tree_util.tree_map(jnp.add, dp_g, dp_a)
     return dx, dp
 
