@@ -109,19 +109,25 @@ def resolve_network(opt, mixed_precision=None, remat=None, fused=None):
     return define_network(net_opt, dtype=dtype), remat, dtype
 
 
-def main(argv=None):
+def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--opt", required=True)
     ap.add_argument("--max_iters", type=int, default=None,
                     help="override total_iter (smoke runs)")
     ap.add_argument("--mixed_precision", choices=["fp32", "bf16"],
                     default=None, help="override train.mixed_precision")
-    ap.add_argument("--remat", action="store_true", default=None,
-                    help="rematerialized backward (override train.remat)")
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="rematerialized backward; --no-remat disables a "
+                         "YAML train.remat: true (override train.remat)")
     ap.add_argument("--fused", choices=["auto", "on", "off"], default=None,
                     help="whole-block Pallas kernels "
                          "(override train.fused_kernels)")
-    args = ap.parse_args(argv)
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
 
     # multi-host rendezvous (env/slurm), before any backend use; no-op for
     # single-process launches (the reference's init_dist call site,
@@ -220,7 +226,7 @@ def main(argv=None):
     state = create_train_state(params, tx, ema_params=ema_params)
     loss_fn = build_loss(topt["pixel_opt"])
     step_fn = make_train_step(model.apply, loss_fn, tx, ema_decay=ema_decay,
-                              remat=remat)
+                              remat=remat, model=model)
     # While masa is frozen (reference image_restoration_ref_model.py:204-208,
     # iter < param_fix_iterations) a structurally-pruned step skips the
     # entire masa backward (~18% of the flagship 384px step).  One extra
@@ -230,7 +236,7 @@ def main(argv=None):
     if fix_iters > 0:
         frozen_step_fn = make_train_step(
             model.apply, loss_fn, tx, ema_decay=ema_decay, remat=remat,
-            masa_frozen=True)
+            masa_frozen=True, model=model)
 
     # checkpointing / auto-resume (reference :137-186)
     ckpt = CheckpointManager(opt["path"]["training_states"])

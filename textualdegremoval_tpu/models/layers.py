@@ -39,7 +39,26 @@ def _env_on(name: str, default: str = "0") -> bool:
 # chain / impl) so two models with different settings coexist in one
 # process and jit cache keys stay sound — library code never reads env at
 # trace time and never writes os.environ.
-_FUSED_TBLOCK_DEFAULT = _env_on("TDR_FUSED_TBLOCK")
+#
+# The whole-TransformerBlock kernel's default is genuinely *auto*: with
+# $TDR_FUSED_TBLOCK unset, fused resolves ON iff the backend is TPU (it is
+# the measured-fastest AND memory-feasible path there — BENCH_NOTES.md:
+# 9.4 vs 6.6 img/s forward, and the XLA op chain OOMs the 384 px training
+# protocol).  The env var remains an explicit override either way; the
+# backend query is deterministic per process, so jit cache keys stay sound.
+_FUSED_TBLOCK_ENV = os.environ.get("TDR_FUSED_TBLOCK")
+
+
+def _fused_tblock_default() -> bool:
+    """Resolution of fused=None for TransformerBlock-family modules:
+    explicit $TDR_FUSED_TBLOCK wins; otherwise ON exactly when the default
+    backend is TPU (where ops/pallas/tblock.py applies; unsupported shapes
+    still fall back to the identical-math tblock_ref inside the op)."""
+    if _FUSED_TBLOCK_ENV is not None:
+        return _FUSED_TBLOCK_ENV in ("1", "true", "on")
+    return jax.default_backend() == "tpu"
+
+
 _FUSED_TBLOCK_CHAIN_DEFAULT = _env_on("TDR_FUSED_TBLOCK_CHAIN")
 _FUSED_GDFN_DEFAULT = _env_on("TDR_FUSED_GDFN")
 _FUSED_NAFBLOCK_DEFAULT = _env_on("TDR_FUSED_NAFBLOCK")
@@ -401,7 +420,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         fused = (self.fused if self.fused is not None
-                 else _FUSED_TBLOCK_DEFAULT)
+                 else _fused_tblock_default())
         bwd_mode = (self.bwd_mode if self.bwd_mode is not None
                     else _TBLOCK_BWD_DEFAULT)
         if fused and not self.use_bias:
@@ -450,7 +469,7 @@ class TransformerResFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         fused = (self.fused if self.fused is not None
-                 else _FUSED_TBLOCK_DEFAULT)
+                 else _fused_tblock_default())
         bwd_mode = (self.bwd_mode if self.bwd_mode is not None
                     else _TBLOCK_BWD_DEFAULT)
         alpha = self.param("alpha", nn.initializers.zeros, (1,))

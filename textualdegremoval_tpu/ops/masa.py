@@ -26,8 +26,15 @@ TPU-first implementation decisions (vs. the CUDA/torch original):
 * `F.unfold` -> `lax.conv_general_dilated_patches` (one fused op);
   `F.fold` -> overlap-add expressed as psize^2 shifted adds (no scatter);
   per-image `make_grid` loops -> one batched gather.
-* Correlations run in float32 (argmax stability), feature gathers keep the
-  input dtype (bf16-friendly).
+* Correlation matmuls feed multiplicands in the INPUT dtype and accumulate
+  in float32 (``preferred_element_type``); norms/denominators are float32
+  throughout.  Under f32 inputs this is exact.  Under bf16 training the
+  multiplicand rounding is ~0.4% relative, which can flip a near-tie argmax
+  match selection vs an all-f32 search — an alignment choice between two
+  almost-equally-correlated ref patches, not a numeric error in the warped
+  features (the transfer gathers keep the input dtype either way).  The
+  parity tests and the eval CLI run f32, where selection is exact; keeping
+  the MXU matmul in bf16 under bf16 training is the measured-faster choice.
 * Fixes the reference's shipped index bug (SURVEY.md §2.5 item 1) by
   construction: the pyramid is a list whose deepest entry is always
   `feats[-1]`, and warp scales are derived from the pyramid length.

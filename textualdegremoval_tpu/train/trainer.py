@@ -126,6 +126,7 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     masa_frozen: bool = False,
+    model=None,
 ):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
@@ -153,7 +154,28 @@ def make_train_step(
     default 0 = EMA off).  When <= 0 the state's ema_params tree simply
     aliases params each step (no extra arrays, no flops), so checkpoints
     and eval paths stay structurally identical either way.
+    model: optional — the Flax module behind apply_fn, used only for a
+    configuration sanity check: remat=True with a model whose fused block
+    kernels keep bwd_mode='save' silently loses most of the memory benefit
+    (the kernels keep their x1/stats residuals alive through the
+    jax.checkpoint recompute); pair remat=True with bwd_mode='remat' as
+    the CLI does (cli/train_restoration.py resolve_network).
     """
+    if remat and model is not None:
+        fused = getattr(model, "fused", False)
+        if fused is None:
+            from textualdegremoval_tpu.models.layers import (
+                _fused_tblock_default)
+            fused = _fused_tblock_default()
+        if fused and getattr(model, "bwd_mode", None) != "remat":
+            import warnings
+            warnings.warn(
+                "make_train_step(remat=True) with fused block kernels in "
+                "bwd_mode='save': the kernels save their attn-boundary "
+                "residuals anyway, so most of remat's memory benefit is "
+                "lost.  Construct the model with bwd_mode='remat' "
+                "(models/layers.py) to pair the memory-lean kernel "
+                "backward with jax.checkpoint.", stacklevel=2)
     if remat:
         apply_fn = jax.checkpoint(
             apply_fn, policy=jax.checkpoint_policies.nothing_saveable)

@@ -1,10 +1,16 @@
-"""Measure the I2T mapper training step on the real chip (BASELINE item 4).
+"""Measure the I2T / TR mapper training step on the real chip
+(BASELINE item 4 and its TR sibling).
 
 Reference protocol: main_train_i2t_mapping.py batch 4 + grad-accum 4 at
 512 px, frozen SD 2.1 UNet/VAE/CLIP towers, trainable mapper + UNet global
 K/V.  This times OUR jitted train step (diffusion/pipeline.py
 make_guidance_train_step) with random-init towers at the real sizes — the
 arithmetic is identical with real weights.
+
+--tr measures the TR stage instead (main_train_tr_mapping.py:756-839):
+frozen pretrained I2T mapper stacked with the trainable CleanMapper (the
+module the reference's shipped optimizer bug forgot to train — SURVEY.md
+§2.5 item 3); same towers, same batch protocol.
 
 Protocol: device-side chain of ITERS steps via lax.fori_loop carrying
 (params, opt_state), fetched once (the relay adds ~28.5 ms per host fetch;
@@ -40,6 +46,7 @@ def main():
     import optax
 
     # bf16 activations = the reference's fp16 mixed-precision protocol
+    stage = "tr" if "--tr" in sys.argv else "i2t"
     mods = GuidanceModules.sd21_config(num_words=20, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
@@ -77,18 +84,18 @@ def main():
     # protocol — the modules cast to bf16 at use anyway, so storing f32
     # only burns HBM: 1.9B params f32 + activations exceed the 16 GB chip)
     from textualdegremoval_tpu.diffusion.pipeline import trainable_mask
-    mask = trainable_mask(params, "i2t")
+    mask = trainable_mask(params, stage)
     params = jax.tree_util.tree_map(
         lambda p, m: p if m else p.astype(jnp.bfloat16), params, mask)
 
-    tx = make_guidance_optimizer(params, "i2t", lr=1e-6)
+    tx = make_guidance_optimizer(params, stage, lr=1e-6)
     opt_state = tx.init(params)
 
     def one_step(p, o, batch, rng):
         # same semantics as make_guidance_train_step (partitioned grads:
         # frozen towers are constants; UNet remat — see diffusion_loss),
         # unjitted so the chain fori_loop can carry it
-        loss, grads = guidance_loss_and_grads(mods, p, batch, rng, "i2t",
+        loss, grads = guidance_loss_and_grads(mods, p, batch, rng, stage,
                                               remat=True)
         updates, o = tx.update(grads, o, p)
         p = optax.apply_updates(p, updates)
@@ -122,10 +129,10 @@ def main():
         float(fn(params, opt_state, batch, rng))
         times.append((time.perf_counter() - t0 - overhead) / ITERS)
     mean = sum(times) / len(times)
-    print(f"i2t train step: {mean * 1e3:.1f} ms (batch {BATCH} @ {SIZE}px, "
+    print(f"{stage} train step: {mean * 1e3:.1f} ms (batch {BATCH} @ {SIZE}px, "
           f"chained x{ITERS}, {REPEATS} repeats)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"i2t_train_step_{SIZE}px_b{BATCH}",
+        "metric": f"{stage}_train_step_{SIZE}px_b{BATCH}",
         "value": round(mean * 1e3, 1),
         "unit": "ms/step",
     }))
