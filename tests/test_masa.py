@@ -188,3 +188,75 @@ class TestTransferGrads:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestGatherWindowsGrads:
+    """masa_gather_windows' custom backward (sequential block-granular
+    DUS-add loop) must match the autodiff transpose of the plain vmapped
+    dynamic_slice gather — including overlapping windows, scale > 1, and
+    repeated corners (the overlap-accumulation path)."""
+
+    def test_grads_match_autodiff_scatter(self):
+        import jax
+        from textualdegremoval_tpu.ops.masa import masa_gather_windows
+
+        rng = np.random.default_rng(7)
+        n, h, w, c = 2, 14, 17, 5
+        pb, d2y, d2x, scale = 6, 4, 5, 2
+        feat = jnp.asarray(
+            rng.standard_normal((n, h * scale, w * scale, c)), jnp.float32)
+        # overlapping + repeated corners
+        y1 = jnp.asarray(rng.integers(0, h - d2y, (n, pb)), jnp.int32)
+        x1 = jnp.asarray(rng.integers(0, w - d2x, (n, pb)), jnp.int32)
+        y1 = y1.at[:, 1].set(y1[:, 0])
+        x1 = x1.at[:, 1].set(x1[:, 0])
+
+        def plain_gather(feat):
+            def slice_one(img, yy, xx):
+                return jax.lax.dynamic_slice(
+                    img, (yy * scale, xx * scale, 0),
+                    (d2y * scale, d2x * scale, c))
+            per = jax.vmap(slice_one, in_axes=(None, 0, 0))
+            return jax.vmap(per, in_axes=(0, 0, 0))(feat, y1, x1)
+
+        got_f = masa_gather_windows(feat, y1, x1, d2y, d2x, scale)
+        np.testing.assert_allclose(np.asarray(got_f),
+                                   np.asarray(plain_gather(feat)))
+
+        def loss_ours(feat):
+            return jnp.sum(jnp.sin(
+                masa_gather_windows(feat, y1, x1, d2y, d2x, scale)))
+
+        def loss_plain(feat):
+            return jnp.sum(jnp.sin(plain_gather(feat)))
+
+        g_ours = jax.grad(loss_ours)(feat)
+        g_plain = jax.grad(loss_plain)(feat)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_plain),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_under_jit_and_scale1(self):
+        import jax
+        from textualdegremoval_tpu.ops.masa import masa_gather_windows
+
+        rng = np.random.default_rng(11)
+        n, h, w, c = 1, 12, 12, 3
+        pb, d2y, d2x = 4, 5, 5
+        feat = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+        y1 = jnp.zeros((n, pb), jnp.int32)  # fully overlapping
+        x1 = jnp.asarray([[0, 1, 0, 7]], jnp.int32)
+
+        @jax.jit
+        def loss(feat):
+            return jnp.sum(
+                masa_gather_windows(feat, y1, x1, d2y, d2x, 1) ** 2)
+
+        g = jax.grad(loss)(feat)
+        # oracle: accumulate each window's 2*window contribution by hand
+        want = np.zeros_like(np.asarray(feat))
+        f = np.asarray(feat)
+        for b in range(pb):
+            yy, xx = int(y1[0, b]), int(x1[0, b])
+            want[0, yy:yy + d2y, xx:xx + d2x] += \
+                2 * f[0, yy:yy + d2y, xx:xx + d2x]
+        np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-6)

@@ -64,6 +64,7 @@ _FUSED_GDFN_DEFAULT = _env_on("TDR_FUSED_GDFN")
 _FUSED_NAFBLOCK_DEFAULT = _env_on("TDR_FUSED_NAFBLOCK")
 _TBLOCK_BWD_DEFAULT = os.environ.get("TDR_TBLOCK_BWD", "save")
 _DWCONV_DEFAULT = os.environ.get("TDR_DWCONV", "conv")
+_CONVGRAD_DEFAULT = os.environ.get("TDR_CONVGRAD", "shift")
 
 
 class ChannelLayerNorm(nn.Module):
@@ -544,6 +545,45 @@ class Upsample(nn.Module):
         return pixel_shuffle(x, 2)
 
 
+class Conv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), strides, padding=1)``:
+    identical parameters (HWIO ``kernel`` + ``bias``, same inits, so
+    checkpoints interchange), but with ``impl='shift'`` the FILTER gradient
+    is computed as 9 shifted MXU einsums (ops.convgrad.conv_grad_shift)
+    instead of XLA's conv-emitter dW lowering.  Measured per shape on the
+    chip (tools/bench_conv_grad.py): stride-1 encoder shapes win up to
+    1.2x (48ch @384px); STRIDED shapes lose badly (0.52x at 48->96 s2), so
+    strided instances always stay on the emitter regardless of impl."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    impl: str | None = None  # 'shift' | 'conv' | None -> import-time default
+
+    @nn.compact
+    def __call__(self, x):
+        impl = self.impl if self.impl is not None else _CONVGRAD_DEFAULT
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        x = x.astype(self.dtype)
+        if impl == "shift" and self.stride == 1:
+            from textualdegremoval_tpu.ops.convgrad import conv_grad_shift
+
+            y = conv_grad_shift(x, kernel, 1)
+        else:
+            p = ((1, 1), (1, 1))
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (self.stride, self.stride), p,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ResidualBlock(nn.Module):
     """conv-relu-conv + x (network_nafnet_guided_arch.py:44-59)."""
 
@@ -552,11 +592,9 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = nn.Conv(self.nf, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv1")(x)
+        out = Conv3x3(self.nf, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(out)
-        out = nn.Conv(self.nf, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv2")(out)
+        out = Conv3x3(self.nf, dtype=self.dtype, name="conv2")(out)
         return out + x
 
 
@@ -576,8 +614,7 @@ class MASAEncoder(nn.Module):
         for level in range(self.num_levels):
             ch = self.nf * (2 ** level)
             stride = 1 if level == 0 else 2
-            x = nn.Conv(ch, (3, 3), strides=(stride, stride), padding=1,
-                        dtype=self.dtype, param_dtype=jnp.float32,
+            x = Conv3x3(ch, stride=stride, dtype=self.dtype,
                         name=f"conv_L{level + 1}")(x)
             x = nn.relu(x)
             nblk = self.n_blocks[min(level, len(self.n_blocks) - 1)]

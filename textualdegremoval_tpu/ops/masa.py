@@ -42,6 +42,10 @@ TPU-first implementation decisions (vs. the CUDA/torch original):
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -223,6 +227,14 @@ def masa_gather_windows(
     the per-element gather an advanced-indexing formulation produces, which
     is an order of magnitude faster on TPU.
 
+    The BACKWARD is a custom vjp: the autodiff transpose of a vmapped
+    dynamic_slice is an element-granular overlapping scatter-add (slow path
+    on TPU — it dominated the match+warp backward, see BENCH_NOTES round 5);
+    here it is a sequential fori_loop of block-granular
+    read-add-`dynamic_update_slice` writes — N*pb in-place window updates,
+    each a contiguous copy, no scatter.  Same accumulation dtype and order
+    semantics (addition is commutative up to float rounding).
+
     Args:
       feat: (N, Hr*scale, Wr*scale, C_s) ref feature at this level.
       y1, x1: (N, pb) window corners at deepest-scale coordinates.
@@ -230,6 +242,12 @@ def masa_gather_windows(
     Returns:
       (N, pb, d2y*scale, d2x*scale, C_s).
     """
+    return _gather_windows(feat, y1, x1, d2y, d2x, scale,
+                           feat.shape, feat.dtype.name)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _gather_windows(feat, y1, x1, d2y, d2x, scale, shape, dtype_name):
     c = feat.shape[-1]
 
     def slice_one(img, yy, xx):
@@ -239,6 +257,32 @@ def masa_gather_windows(
 
     per_image = jax.vmap(slice_one, in_axes=(None, 0, 0))  # over blocks
     return jax.vmap(per_image, in_axes=(0, 0, 0))(feat, y1, x1)
+
+
+def _gather_windows_fwd(feat, y1, x1, d2y, d2x, scale, shape, dtype_name):
+    out = _gather_windows(feat, y1, x1, d2y, d2x, scale, shape, dtype_name)
+    return out, (y1, x1)
+
+
+def _gather_windows_bwd(d2y, d2x, scale, shape, dtype_name, res, g):
+    y1, x1 = res
+    n, pb = y1.shape
+    wy, wx, c = d2y * scale, d2x * scale, shape[-1]
+
+    def body(i, buf):
+        ni, bi = i // pb, i % pb
+        y = y1[ni, bi] * scale
+        x = x1[ni, bi] * scale
+        gi = lax.dynamic_slice(g, (ni, bi, 0, 0, 0), (1, 1, wy, wx, c))
+        cur = lax.dynamic_slice(buf, (ni, y, x, 0), (1, wy, wx, c))
+        return lax.dynamic_update_slice(buf, cur + gi[0], (ni, y, x, 0))
+
+    buf = lax.fori_loop(0, n * pb, body, jnp.zeros(shape, g.dtype))
+    zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return buf.astype(dtype_name), zero_int(y1), zero_int(x1)
+
+
+_gather_windows.defvjp(_gather_windows_fwd, _gather_windows_bwd)
 
 
 def masa_fine_search(
