@@ -509,18 +509,28 @@ def masa_match_and_warp(
     diameter_y = min(diameter_y, hr - 2)
     d2y, d2x = diameter_y + 2, diameter_x + 2
 
-    # haloed LQ blocks (replicate border), block grid (py, px)
+    # haloed LQ blocks (replicate border), block grid (py, px).  Extract the
+    # (ky+2, kx+2) windows at stride (ky, kx) as (ky+2)*(kx+2) shifted
+    # strided slices: stride+2-halo windows are pure data movement, and the
+    # autodiff TRANSPOSE is the mirrored set of slice-adds.  The previous
+    # `conv_general_dilated_patches` form lowered its dgrad through the conv
+    # emitter as a dense transposed conv over C*(ky+2)*(kx+2) channels —
+    # multi-TFLOP for a copy, and the single largest term of the train-step
+    # backward (BENCH_NOTES round 5: the match+warp bwd was 49 ms while
+    # every stage vjp summed to <5 ms).
     lq_pad = jnp.pad(feat_lq_deep, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    # extract (ky+2, kx+2) windows at stride (ky, kx)
-    bl = lax.conv_general_dilated_patches(
-        lq_pad,
-        filter_shape=(ky + 2, kx + 2),
-        window_strides=(ky, kx),
-        padding=((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (N, py, px, C*(ky+2)*(kx+2)) channel-major (c, ki, kj)
-    bl = bl.reshape(n, py * px, c, ky + 2, kx + 2)
-    lq_blocks = bl.transpose(0, 1, 3, 4, 2)  # (N, pb, ky+2, kx+2, C)
+    rows = []
+    for a in range(ky + 2):
+        cols = []
+        for b in range(kx + 2):
+            v = lax.slice(
+                lq_pad, (0, a, b, 0),
+                (n, a + (py - 1) * ky + 1, b + (px - 1) * kx + 1, c),
+                (1, ky, kx, 1))  # (N, py, px, C)
+            cols.append(v)
+        rows.append(jnp.stack(cols, axis=3))  # (N, py, px, kx+2, C)
+    bl = jnp.stack(rows, axis=3)  # (N, py, px, ky+2, kx+2, C)
+    lq_blocks = bl.reshape(n, py * px, ky + 2, kx + 2, c)
 
     # coarse search + window corners
     top1 = masa_coarse_search(lq_blocks, deep_ref, dilations)
