@@ -97,3 +97,32 @@ def test_full_block_custom_vjp_uses_kernel(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(gp_f[key]), np.asarray(gp_r[key]),
             rtol=3e-4, atol=3e-4, err_msg=key)
+
+
+def test_remat_mode_grads_match_save_mode(monkeypatch):
+    """bwd_mode='remat' must produce the same gradients as 'save' while
+    saving only (x, p): round 5 rewires the remat backward to recompute
+    x1/stats transiently and reuse the streaming kernels wherever they
+    apply (previously it took the two-part checkpointed ref backward,
+    3.1x slower in-model)."""
+    import textualdegremoval_tpu.ops.pallas.tblock as tb
+    monkeypatch.setattr(tb, "_INTERPRET", True)
+
+    x, _, params = _setup(1, 8, 16, 8, heads=2, ln_type="WithBias", seed=3)
+    p = _extract(params)
+    dout = jax.random.normal(jax.random.PRNGKey(5), x.shape)
+
+    def loss(mode, xx, pp):
+        y = tb.tblock_fused(xx, pp, 2, "WithBias", bwd_mode=mode)
+        return jnp.sum(y.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    gx_s, gp_s = jax.grad(lambda a, b: loss("save", a, b),
+                          argnums=(0, 1))(x, p)
+    gx_r, gp_r = jax.grad(lambda a, b: loss("remat", a, b),
+                          argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_s),
+                               rtol=2e-4, atol=2e-5)
+    for k in gp_s:
+        np.testing.assert_allclose(
+            np.asarray(gp_r[k]), np.asarray(gp_s[k]), rtol=2e-4, atol=2e-5,
+            err_msg=k)

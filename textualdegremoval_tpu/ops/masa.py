@@ -67,7 +67,28 @@ def unfold_nhwc(
 
     Returns (N, Lh, Lw, C*ks*ks) where the last axis is ordered
     channel-major: index = c*ks*ks + ki*ks + kj (same as torch.unfold).
+
+    Stride-1 unfolds are ks^2 shifted slices stacked (pure data movement;
+    the autodiff transpose is the mirrored pad-and-add).  The
+    `conv_general_dilated_patches` identity-conv form costs ks^2 MACs per
+    copied element forward, and its dgrad lowers through the conv emitter
+    as a dense transposed conv over C*ks^2 channels — the same multi-TFLOP
+    copy-transpose that dominated the MASA block extraction (BENCH_NOTES
+    round 5).  Strided unfolds keep the fused conv form.
     """
+    if stride == 1:
+        n, h, w, c = x.shape
+        xp = (jnp.pad(x, ((0, 0), (padding, padding), (padding, padding),
+                          (0, 0))) if padding else x)
+        oh = h + 2 * padding - dilation * (ks - 1)
+        ow = w + 2 * padding - dilation * (ks - 1)
+        views = [
+            xp[:, ki * dilation : ki * dilation + oh,
+               kj * dilation : kj * dilation + ow, :]
+            for ki in range(ks) for kj in range(ks)
+        ]
+        stacked = jnp.stack(views, axis=-1)  # (N, oh, ow, C, ks*ks)
+        return stacked.reshape(n, oh, ow, c * ks * ks)
     patches = lax.conv_general_dilated_patches(
         x,
         filter_shape=(ks, ks),

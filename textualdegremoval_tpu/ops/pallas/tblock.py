@@ -776,9 +776,22 @@ def _attn_bwd_kernel_applies(x, p):
 def _bwd(heads, ln_type, bwd_mode, res, g):
     x, p, x1, stats = res
     if x1 is None:
-        _, vjp = jax.vjp(
-            lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type), x, p)
-        return vjp(g)
+        # bwd_mode='remat': nothing but (x, p) was saved.  Where the
+        # streaming backward kernels apply, recompute the attn-boundary x1
+        # and the pass-A statistics HERE — transient in the backward, one
+        # extra fused-forward per block — and take the same kernel path as
+        # 'save' mode (round 5: the previous two-part checkpointed ref
+        # backward made remat steps 3.1x slower than non-remat at b2
+        # because it bypassed both kernels).  Memory profile is unchanged:
+        # x1/stats never persist from forward to backward.
+        if _attn_bwd_kernel_applies(x, p) or _gdfn_bwd_kernel_applies(x, p):
+            _, x1, stats = _tblock_impl(x, p, heads, ln_type, want_x1=True,
+                                        want_stats=True)
+        else:
+            _, vjp = jax.vjp(
+                lambda xx, pp: _tblock_ref_remat(xx, pp, heads, ln_type),
+                x, p)
+            return vjp(g)
     t = _gdfn_bwd_kernel_applies(x, p)
     if t:
         from textualdegremoval_tpu.ops.pallas.tblock_bwd import (
