@@ -68,6 +68,7 @@ class TestPlainBackbones:
 
 
 class TestRefFusion:
+    @pytest.mark.slow  # 141 s compile under load (fast-suite budget, r5)
     def test_restormer_ref_fusion(self):
         m = tiny_restormer_ref()
         lq = jax.random.normal(KEY, (1, 32, 32, 3))
@@ -76,6 +77,7 @@ class TestRefFusion:
         y = jax.jit(m.apply)(params, lq, ref)
         assert y.shape == lq.shape
 
+    @pytest.mark.slow  # 176 s compile under load (fast-suite budget, r5)
     def test_nafnet_ref_fusion(self):
         m = tiny_nafnet_ref()
         lq = jax.random.normal(KEY, (1, 64, 64, 3))

@@ -15,6 +15,7 @@ KEY = jax.random.PRNGKey(0)
 
 
 class TestDRSformer:
+    @pytest.mark.slow  # 100 s compile under load (fast-suite budget, r5)
     def test_plain(self):
         m = DRSformer(dim=8, num_blocks=(1, 1, 1, 1), heads=(1, 1, 2, 2),
                       use_mefc=True)
