@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from textualdegremoval_tpu.ops.flash_attn import (
+    flash_attn_default, self_attention)
+
 
 def timestep_embedding(t, dim: int, max_period: float = 10000.0,
                        flip_sin_cos: bool = True, shift: float = 0.0):
@@ -73,6 +76,11 @@ class CrossAttention(nn.Module):
     head_dim: int = 64
     with_global_kv: bool = False
     dtype: jnp.dtype = jnp.float32
+    # None -> flash_attn_default() (ON on TPU backends; $TDR_FLASH_ATTN
+    # overrides).  Applies only where ops/flash_attn.flash_applies — i.e.
+    # the long-seq self-attentions; cross-attn (kv = 77 tokens) and short
+    # sequences stay on the XLA path.
+    attn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x, context=None, use_global_kv: bool = False):
@@ -94,7 +102,9 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, n, heads, self.head_dim)
         k = k.reshape(b, -1, heads, self.head_dim)
         v = v.reshape(b, -1, heads, self.head_dim)
-        out = jax.nn.dot_product_attention(q, k, v)
+        use_flash = (flash_attn_default() if self.attn_impl is None
+                     else self.attn_impl == "flash")
+        out = self_attention(q, k, v, use_flash=use_flash)
         out = out.reshape(b, n, d)
         return nn.Dense(d, use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name="to_out")(out)
@@ -117,15 +127,17 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int = 1024
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x, context, use_global_kv: bool = False):
         kw = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         x = x + CrossAttention(self.dim, None, self.head_dim, False,
-                               self.dtype, name="attn1")(
+                               self.dtype, self.attn_impl, name="attn1")(
             nn.LayerNorm(**kw, name="norm1")(x))
         x = x + CrossAttention(self.dim, self.context_dim, self.head_dim,
-                               True, self.dtype, name="attn2")(
+                               True, self.dtype, self.attn_impl,
+                               name="attn2")(
             nn.LayerNorm(**kw, name="norm2")(x), context, use_global_kv)
         y = nn.LayerNorm(**kw, name="norm3")(x)
         y = GEGLU(self.dim * 4, self.dtype, name="ff_geglu")(y)
@@ -140,6 +152,7 @@ class Transformer2D(nn.Module):
     head_dim: int = 64
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x, context, use_global_kv: bool = False):
@@ -152,6 +165,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             x = BasicTransformerBlock(self.dim, self.context_dim,
                                       self.head_dim, self.dtype,
+                                      self.attn_impl,
                                       name=f"blocks_{i}")(
                 x, context, use_global_kv)
         x = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
@@ -169,6 +183,7 @@ class UNet2DCondition(nn.Module):
     context_dim: int = 1024
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str | None = None
 
     @nn.compact
     def __call__(self, x, t, context, use_global_kv: bool = False):
@@ -192,7 +207,7 @@ class UNet2DCondition(nn.Module):
                                 name=f"down_{bi}_resnet_{li}")(x, temb)
                 if has_attn:
                     x = Transformer2D(c, self.context_dim, self.head_dim, 1,
-                                      self.dtype,
+                                      self.dtype, self.attn_impl,
                                       name=f"down_{bi}_attn_{li}")(
                         x, context, use_global_kv)
                 skips.append(x)
@@ -205,7 +220,7 @@ class UNet2DCondition(nn.Module):
         # mid
         x = ResnetBlock(ch[-1], self.dtype, name="mid_resnet_0")(x, temb)
         x = Transformer2D(ch[-1], self.context_dim, self.head_dim, 1,
-                          self.dtype, name="mid_attn")(
+                          self.dtype, self.attn_impl, name="mid_attn")(
             x, context, use_global_kv)
         x = ResnetBlock(ch[-1], self.dtype, name="mid_resnet_1")(x, temb)
 
@@ -220,7 +235,8 @@ class UNet2DCondition(nn.Module):
                                 name=f"up_{bi}_resnet_{li}")(x, temb)
                 if has_attn:
                     x = Transformer2D(c, self.context_dim, self.head_dim, 1,
-                                      self.dtype, name=f"up_{bi}_attn_{li}")(
+                                      self.dtype, self.attn_impl,
+                                      name=f"up_{bi}_attn_{li}")(
                         x, context, use_global_kv)
             if bi < len(rev) - 1:
                 b, hh, ww, cc = x.shape
